@@ -1,0 +1,77 @@
+"""Image codec: round-trip, PSNR invariant, vectorized GPS extraction."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tzspark.imagecodec import (
+    HEADER_LEN,
+    decode_image,
+    encode_image,
+    extract_gps_batch,
+    psnr,
+    rle_decode,
+    rle_encode,
+    synth_pixels,
+)
+
+
+@pytest.mark.parametrize("fmt", ["raw", "rle", "qnt"])
+def test_roundtrip(fmt):
+    buf, phash, pix = encode_image(7, 12.5, -33.25, 16, 8, fmt)
+    lat, lng, dec = decode_image(buf)
+    assert lat == np.float32(12.5) and lng == np.float32(-33.25)
+    assert dec.shape == pix.shape
+    if fmt in ("raw", "rle"):
+        np.testing.assert_array_equal(dec, pix)  # lossless: bit-equal
+    else:
+        assert psnr(pix, dec) >= 40.0  # lossy invariant (BASELINE.json)
+        assert np.abs(dec.astype(int) - pix.astype(int)).max() <= 2
+
+
+def test_qnt_psnr_worst_case():
+    # adversarial worst case for 6-bit quantization: all p % 4 == 0
+    pix = np.zeros((8, 8, 3), dtype=np.uint8)
+    q = pix >> 2
+    dec = ((q << 2) + 2).astype(np.uint8)
+    assert psnr(pix, dec) >= 40.0
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_rle_roundtrip(data):
+    arr = np.frombuffer(data, dtype=np.uint8)
+    np.testing.assert_array_equal(rle_decode(rle_encode(arr)), arr)
+
+
+def test_rle_long_run_split():
+    arr = np.full(1000, 7, dtype=np.uint8)
+    np.testing.assert_array_equal(rle_decode(rle_encode(arr)), arr)
+
+
+def test_extract_gps_batch():
+    bufs = []
+    coords = [(1.5, 2.5), (-45.0, 170.25), (89.0, -179.5)]
+    for k, (la, lo) in enumerate(coords):
+        buf, _, _ = encode_image(k, la, lo, 8, 8, "raw")
+        bufs.append(buf)
+    bufs.append(b"short")  # quarantine: truncated blob
+    bufs.append(b"XXXX" + bytes(HEADER_LEN))  # quarantine: bad magic
+    bufs.append(None)  # quarantine: null
+    lat, lng, ok = extract_gps_batch(bufs)
+    assert ok.tolist() == [True, True, True, False, False, False]
+    np.testing.assert_array_equal(lat[:3], np.array([c[0] for c in coords], np.float32))
+    np.testing.assert_array_equal(lng[:3], np.array([c[1] for c in coords], np.float32))
+
+
+def test_phash_deterministic():
+    b1, h1, _ = encode_image(3, 0, 0, 8, 8, "raw")
+    b2, h2, _ = encode_image(3, 0, 0, 8, 8, "raw")
+    assert b1 == b2 and h1 == h2
+    _, h3, _ = encode_image(4, 0, 0, 8, 8, "raw")
+    assert h1 != h3
+
+
+def test_synth_pixels_deterministic():
+    np.testing.assert_array_equal(synth_pixels(5, 16, 8), synth_pixels(5, 16, 8))

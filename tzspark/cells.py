@@ -1,0 +1,428 @@
+"""H3-style cell grid: encode + compact multi-resolution cell cover.
+
+Replaces the reference's R-tree (geo/rtree.go:16-19, fanout-32 MBR tree) with
+a structure that distributes: a global power-of-two lat/lng grid whose cell
+ids are plain integer arithmetic (computable identically in numpy, PySpark
+Column expressions, and ANSI SQL — no shuffle, no UDF), plus a driver-compiled
+"compact cover" per zone:
+
+* INTERIOR cells — entirely inside one-or-more zones: point resolution is an
+  O(1) lookup, no ray cast at all (the analog of the reference's early
+  termination, geo/latlng.go:65-67, but cheaper: ~most land cells),
+* BOUNDARY cells (max resolution only) — carry candidate zone ids plus a
+  pruned edge subset, so the exact float32 ray cast (geom.py) only ever sees
+  nearby edges.
+
+The cover is compiled once on the driver (numpy), broadcast to executors, and
+probed inside pandas UDFs — the Spark-native replacement for the reference's
+mmap + rebuild-R-tree-on-load design (timezone.go:192, 208-214).
+
+Grid definition (res r, n = 2**r):
+    row  = clamp(floor((lat +  90) / 180 * n), 0, n-1)
+    col  = clamp(floor((lng + 180) / 360 * n), 0, n-1)
+    cell = row * n + col        (at resolution r)
+
+The arithmetic is done in float64 from float32-truncated coordinates so the
+SQL oracle (CAST(lat AS FLOAT) then double math) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .geom import (
+    F32,
+    contains_batch_edges,
+    contains_scalar,
+    ring_bbox,
+    ring_edges,
+    segment_bbox_overlaps_rect,
+)
+
+DEFAULT_BASE_RES = 4
+DEFAULT_MAX_RES = 9
+
+
+def cell_rowcol(lat, lng, res: int):
+    """(row, col) at resolution ``res``; float64 math from float32 coords."""
+    n = 1 << res
+    lat64 = np.asarray(lat, dtype=F32).astype(np.float64)
+    lng64 = np.asarray(lng, dtype=F32).astype(np.float64)
+    row = np.clip(np.floor((lat64 + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    col = np.clip(np.floor((lng64 + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    return row, col
+
+
+def cell_id(lat, lng, res: int):
+    """Grid cell id at resolution ``res`` (vectorized numpy)."""
+    n = 1 << res
+    row, col = cell_rowcol(lat, lng, res)
+    return row * n + col
+
+
+def cell_id_parent(cell: np.ndarray, res: int, parent_res: int) -> np.ndarray:
+    """Ancestor cell id at a coarser resolution (pure integer shifts)."""
+    n = 1 << res
+    shift = res - parent_res
+    row = (cell // n) >> shift
+    col = (cell % n) >> shift
+    return row * (1 << parent_res) + col
+
+
+def cell_bounds(row: int, col: int, res: int):
+    """[lat0, lat1) x [lng0, lng1) bounds of a cell, float64 degrees."""
+    n = 1 << res
+    lat0 = -90.0 + 180.0 * row / n
+    lat1 = -90.0 + 180.0 * (row + 1) / n
+    lng0 = -180.0 + 360.0 * col / n
+    lng1 = -180.0 + 360.0 * (col + 1) / n
+    return lat0, lng0, lat1, lng1
+
+
+def cell_id_sql(lat_expr: str, lng_expr: str, res: int) -> str:
+    """ANSI-SQL text of the cell id, for DuckDB oracles. Mirrors cell_id()."""
+    n = 1 << res
+    row = (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({lat_expr} AS FLOAT) + 90.0) / 180.0 * {n}) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    col = (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({lng_expr} AS FLOAT) + 180.0) / 360.0 * {n}) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    return f"({row} * {n} + {col})"
+
+
+def cell_id_col(lat_col, lng_col, res: int):
+    """PySpark Column of the cell id. Mirrors cell_id() / cell_id_sql()."""
+    from pyspark.sql import functions as F
+
+    n = 1 << res
+    lat64 = lat_col.cast("float").cast("double")
+    lng64 = lng_col.cast("float").cast("double")
+    row = F.least(
+        F.greatest(F.floor((lat64 + 90.0) / 180.0 * n).cast("bigint"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    col = F.least(
+        F.greatest(F.floor((lng64 + 180.0) / 360.0 * n).cast("bigint"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    return row * n + col
+
+
+# ---------------------------------------------------------------------------
+# Compact cover compile (driver-side)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Zone:
+    """One polygon row of the zone table (SURVEY.md §1.1): a single vertex
+    ring, float32, implicitly closed — mirrors geo/polygon.go:14-17."""
+
+    zone_id: int
+    tzid: str
+    ring_lat: np.ndarray  # float32 (V,)
+    ring_lng: np.ndarray  # float32 (V,)
+
+    def __post_init__(self):
+        self.ring_lat = np.asarray(self.ring_lat, dtype=F32)
+        self.ring_lng = np.asarray(self.ring_lng, dtype=F32)
+
+    @property
+    def bbox(self):
+        return ring_bbox(self.ring_lat, self.ring_lng)
+
+
+@dataclass
+class CompiledIndex:
+    """Broadcast-able compiled cover. All numpy, pickle-friendly, compact.
+
+    Per resolution r in [base_res, max_res]: sorted interior cell ids +
+    CSR lists of zones that FULLY claim each cell. At max_res additionally:
+    sorted boundary cell ids + CSR candidate (zone, edge-subset) lists.
+    The flat float32 edge arrays play the role of the reference's contiguous
+    vertex blob + offsets (timezone.go:19-27) — columnar, zero-copy sliceable.
+    """
+
+    base_res: int
+    max_res: int
+    zone_ids: np.ndarray  # (Z,) int32 — dense, sorted
+    tzids: list  # (Z,) str
+    zone_bbox: np.ndarray  # (Z, 4) float32: min_lat, min_lng, max_lat, max_lng
+    # full-claim lookup, one per res: {res: (cells_sorted, offsets, zone_list)}
+    full: dict = field(default_factory=dict)
+    # boundary lookup at max_res
+    b_cells: np.ndarray = None  # sorted int64
+    b_off: np.ndarray = None  # (B+1,) int64 CSR into b_zone/b_edge_off
+    b_zone: np.ndarray = None  # (C,) int32 candidate zone id
+    b_edge_off: np.ndarray = None  # (C+1,) int64 CSR into edge_idx
+    edge_idx: np.ndarray = None  # flat int64 indices into the edge arrays
+    ea_lat: np.ndarray = None  # global flat edge arrays (float32)
+    ea_lng: np.ndarray = None
+    eb_lat: np.ndarray = None
+    eb_lng: np.ndarray = None
+    stats: dict = field(default_factory=dict)
+
+
+def _classify_rect(zone_edges, zbbox, lat0, lng0, lat1, lng1):
+    """-> ('out' | 'full' | 'maybe', relevant_edge_mask)."""
+    zmin_lat, zmin_lng, zmax_lat, zmax_lng = zbbox
+    if zmax_lat < lat0 or zmin_lat > lat1 or zmax_lng < lng0 or zmin_lng > lng1:
+        return "out", None
+    a_lat, a_lng, b_lat, b_lng = zone_edges
+    overlap = segment_bbox_overlaps_rect(a_lat, a_lng, b_lat, b_lng, lat0, lng0, lat1, lng1)
+    if not overlap.any():
+        # no boundary crosses the cell -> uniformly in or out; sample center
+        c_lat = F32((lat0 + lat1) / 2.0)
+        c_lng = F32((lng0 + lng1) / 2.0)
+        inside = contains_batch_edges(
+            a_lat, a_lng, b_lat, b_lng, np.array([c_lat]), np.array([c_lng])
+        )[0]
+        return ("full" if inside else "out"), None
+    return "maybe", overlap
+
+
+def _pip_edge_subset(zone_edges, lat0, lng0, lat1, lng1) -> np.ndarray:
+    """Indices of edges that can affect the +lat ray cast for any point in
+    the cell [lat0,lat1) x [lng0,lng1).
+
+    An edge is irrelevant iff its lng interval misses every p.lng in the cell
+    (first conjunct of polygon.go:113-116 always false) or it lies entirely
+    south of the cell (intersection lat <= max edge lat < lat0 <= p.lat, so
+    the strict '<' always fails). Conservative non-strict bounds keep a
+    superset; parity over the subset == parity over the full ring.
+    """
+    a_lat, a_lng, b_lat, b_lng = zone_edges
+    e_min_lng = np.minimum(a_lng, b_lng)
+    e_max_lng = np.maximum(a_lng, b_lng)
+    e_max_lat = np.maximum(a_lat, b_lat)
+    keep = (e_min_lng <= lng1) & (e_max_lng >= lng0) & (e_max_lat >= lat0)
+    return np.flatnonzero(keep)
+
+
+def compile_cover(
+    zones: list,
+    base_res: int = DEFAULT_BASE_RES,
+    max_res: int = DEFAULT_MAX_RES,
+) -> CompiledIndex:
+    """Quadtree-subdivide each zone into full/boundary cells and merge.
+
+    Driver-side, numpy-vectorized per cell. This is the engine analog of the
+    reference's build step (AddTimezone + BuildRtree, timezone.go:29-45,
+    208-214), executed once per job then sc.broadcast().
+    """
+    zones = sorted(zones, key=lambda z: z.zone_id)
+    zone_ids = np.array([z.zone_id for z in zones], dtype=np.int32)
+    tzids = [z.tzid for z in zones]
+    zone_bbox = np.array([z.bbox for z in zones], dtype=F32)
+
+    # global flat edge arrays + per-zone offsets
+    edge_parts = [ring_edges(z.ring_lat, z.ring_lng) for z in zones]
+    ea_lat = np.concatenate([p[0] for p in edge_parts]) if edge_parts else np.empty(0, F32)
+    ea_lng = np.concatenate([p[1] for p in edge_parts]) if edge_parts else np.empty(0, F32)
+    eb_lat = np.concatenate([p[2] for p in edge_parts]) if edge_parts else np.empty(0, F32)
+    eb_lng = np.concatenate([p[3] for p in edge_parts]) if edge_parts else np.empty(0, F32)
+    zone_edge_base = np.concatenate(
+        [[0], np.cumsum([len(p[0]) for p in edge_parts])]
+    ).astype(np.int64)
+
+    full_claims = {r: {} for r in range(base_res, max_res + 1)}  # cell -> [zidx]
+    boundary = {}  # cell -> list[(zidx, np.ndarray edge_subset_global_idx)]
+
+    for zidx, z in enumerate(zones):
+        if len(z.ring_lat) < 3:
+            continue  # degenerate rings never match (polygon.go:101-103)
+        zedges = edge_parts[zidx]
+        zbbox = z.bbox
+        base = zone_edge_base[zidx]
+
+        # seed: base_res cells overlapping the zone bbox
+        n0 = 1 << base_res
+        r0, _ = cell_rowcol(np.array([zbbox[0]]), np.array([zbbox[1]]), base_res)
+        r1, _ = cell_rowcol(np.array([zbbox[2]]), np.array([zbbox[3]]), base_res)
+        _, c0 = cell_rowcol(np.array([zbbox[0]]), np.array([zbbox[1]]), base_res)
+        _, c1 = cell_rowcol(np.array([zbbox[2]]), np.array([zbbox[3]]), base_res)
+        stack = [
+            (base_res, int(rr), int(cc))
+            for rr in range(int(r0[0]), int(r1[0]) + 1)
+            for cc in range(int(c0[0]), int(c1[0]) + 1)
+        ]
+        while stack:
+            res, row, col = stack.pop()
+            lat0, lng0, lat1, lng1 = cell_bounds(row, col, res)
+            kind, _ = _classify_rect(zedges, zbbox, lat0, lng0, lat1, lng1)
+            if kind == "out":
+                continue
+            cid = row * (1 << res) + col
+            if kind == "full":
+                full_claims[res].setdefault(cid, []).append(zidx)
+            elif res < max_res:
+                stack.extend(
+                    (res + 1, 2 * row + dr, 2 * col + dc)
+                    for dr in (0, 1)
+                    for dc in (0, 1)
+                )
+            else:
+                sub = _pip_edge_subset(zedges, lat0, lng0, lat1, lng1) + base
+                boundary.setdefault(cid, []).append((zidx, sub.astype(np.int64)))
+
+    idx = CompiledIndex(
+        base_res=base_res,
+        max_res=max_res,
+        zone_ids=zone_ids,
+        tzids=tzids,
+        zone_bbox=zone_bbox,
+        ea_lat=ea_lat,
+        ea_lng=ea_lng,
+        eb_lat=eb_lat,
+        eb_lng=eb_lng,
+    )
+
+    for r, claims in full_claims.items():
+        if not claims:
+            idx.full[r] = (
+                np.empty(0, np.int64),
+                np.zeros(1, np.int64),
+                np.empty(0, np.int32),
+            )
+            continue
+        cells = np.array(sorted(claims), dtype=np.int64)
+        lists = [sorted(claims[c]) for c in cells]
+        off = np.concatenate([[0], np.cumsum([len(x) for x in lists])]).astype(np.int64)
+        zl = np.array([z for xs in lists for z in xs], dtype=np.int32)
+        idx.full[r] = (cells, off, zl)
+
+    b_cells = np.array(sorted(boundary), dtype=np.int64)
+    b_off = [0]
+    b_zone = []
+    b_edge_off = [0]
+    edge_idx_parts = []
+    for c in b_cells:
+        cands = sorted(boundary[c], key=lambda t: t[0])
+        for zidx, sub in cands:
+            b_zone.append(zidx)
+            edge_idx_parts.append(sub)
+            b_edge_off.append(b_edge_off[-1] + len(sub))
+        b_off.append(b_off[-1] + len(cands))
+    idx.b_cells = b_cells
+    idx.b_off = np.array(b_off, dtype=np.int64)
+    idx.b_zone = np.array(b_zone, dtype=np.int32)
+    idx.b_edge_off = np.array(b_edge_off, dtype=np.int64)
+    idx.edge_idx = (
+        np.concatenate(edge_idx_parts) if edge_idx_parts else np.empty(0, np.int64)
+    )
+
+    n_full = {r: len(v[0]) for r, v in idx.full.items()}
+    idx.stats = {
+        "zones": len(zones),
+        "edges": int(ea_lat.shape[0]),
+        "interior_cells": n_full,
+        "boundary_cells": int(len(b_cells)),
+        "boundary_candidates": int(len(b_zone)),
+        "max_candidates_per_cell": int(np.diff(idx.b_off).max()) if len(b_cells) else 0,
+        "mean_edges_per_candidate": float(np.diff(idx.b_edge_off).mean())
+        if len(b_zone)
+        else 0.0,
+    }
+    return idx
+
+
+def resolve_points(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+    """Resolve N float32 points to zone_id (int32, -1 = no containing zone).
+
+    Match semantics: argmin(zone_id) over containing zones (SURVEY.md §5.1 —
+    the documented deterministic deviation from the reference's
+    traversal-order-dependent abort, timezone.go:66-76).
+
+    Fast path: interior (full-claim) lookup per resolution — no ray cast.
+    Slow path: per boundary cell, exact float32 ray cast against each
+    candidate's pruned edge subset.
+    """
+    lat = np.asarray(lat, dtype=F32)
+    lng = np.asarray(lng, dtype=F32)
+    n = lat.shape[0]
+    out = np.full(n, np.iinfo(np.int32).max, dtype=np.int64)  # running argmin
+
+    cell_hi = cell_id(lat, lng, idx.max_res)
+
+    # interior claims at every resolution
+    for r in range(idx.base_res, idx.max_res + 1):
+        cells, off, zl = idx.full[r]
+        if len(cells) == 0:
+            continue
+        c_r = cell_hi if r == idx.max_res else cell_id_parent(cell_hi, idx.max_res, r)
+        pos = np.searchsorted(cells, c_r)
+        pos_c = np.minimum(pos, len(cells) - 1)
+        hit = cells[pos_c] == c_r
+        if not hit.any():
+            continue
+        hit_idx = np.flatnonzero(hit)
+        # min zone id per full-claim list is the first element (lists sorted)
+        zmin = idx.zone_ids[zl[off[pos_c[hit_idx]]]]
+        out[hit_idx] = np.minimum(out[hit_idx], zmin.astype(np.int64))
+
+    # boundary candidates at max_res
+    if idx.b_cells is not None and len(idx.b_cells):
+        pos = np.searchsorted(idx.b_cells, cell_hi)
+        pos_c = np.minimum(pos, len(idx.b_cells) - 1)
+        is_b = idx.b_cells[pos_c] == cell_hi
+        b_pts = np.flatnonzero(is_b)
+        if len(b_pts):
+            order = np.argsort(pos_c[b_pts], kind="stable")
+            b_pts = b_pts[order]
+            cell_pos = pos_c[b_pts]
+            # group points by boundary cell
+            uniq, starts = np.unique(cell_pos, return_index=True)
+            starts = list(starts) + [len(b_pts)]
+            for k, cp in enumerate(uniq):
+                pts = b_pts[starts[k] : starts[k + 1]]
+                pl, pg = lat[pts], lng[pts]
+                for ci in range(idx.b_off[cp], idx.b_off[cp + 1]):
+                    zidx = idx.b_zone[ci]
+                    zid = int(idx.zone_ids[zidx])
+                    # skip candidates that can't improve the running argmin
+                    if (out[pts] <= zid).all():
+                        continue
+                    eix = idx.edge_idx[idx.b_edge_off[ci] : idx.b_edge_off[ci + 1]]
+                    inside = contains_batch_edges(
+                        idx.ea_lat[eix],
+                        idx.ea_lng[eix],
+                        idx.eb_lat[eix],
+                        idx.eb_lng[eix],
+                        pl,
+                        pg,
+                    )
+                    if inside.any():
+                        w = pts[inside]
+                        out[w] = np.minimum(out[w], zid)
+
+    out[out == np.iinfo(np.int32).max] = -1
+    return out.astype(np.int32)
+
+
+def knn_fallback(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+    """Nearest zone for unmatched points: argmin over zones of the squared
+    clamp distance to the zone MBR (float64 from float32 coords), tie-break
+    min zone_id (SURVEY.md §2.3 J2 — the engine's explicit form of the
+    reference's data-level ocean fallback, import.go:26-28).
+    """
+    from .geom import bbox_clamp_dist2_f64
+
+    if len(lat) == 0:
+        return np.empty(0, dtype=np.int32)
+    d2 = bbox_clamp_dist2_f64(
+        lat,
+        lng,
+        idx.zone_bbox[:, 0].astype(np.float64),
+        idx.zone_bbox[:, 1].astype(np.float64),
+        idx.zone_bbox[:, 2].astype(np.float64),
+        idx.zone_bbox[:, 3].astype(np.float64),
+    )
+    # argmin with zone_id tie-break: zones are sorted by zone_id, and
+    # np.argmin returns the first minimum — exactly the tie-break we want.
+    best = np.argmin(d2, axis=1)
+    return idx.zone_ids[best].astype(np.int32)

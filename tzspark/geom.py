@@ -1,0 +1,177 @@
+"""Float32 point-in-polygon kernels.
+
+Reimplements (from scratch, in numpy) the query semantics of the reference's
+even-odd ray cast — /root/reference/geo/polygon.go:100-116 (`ContainsLatLng`,
+`rayIntersectsSegment`) — with the reference's exact numeric behavior:
+
+* all geometry math is float32, op-by-op (Go float32 arithmetic rounds after
+  every binary op; numpy float32 does the same),
+* the ray points in the +latitude direction,
+* strict inequalities give half-open boundaries: west/south edges are INSIDE,
+  east/north edges are OUTSIDE, the SW vertex is inside (SURVEY.md §1.3),
+* rings with < 3 vertices never contain anything (polygon.go:101-103),
+* the ring is implicitly closed: edge v[-1] -> v[0] is always tested
+  (polygon.go:104).
+
+Two implementations are provided:
+
+* ``contains_scalar`` — a line-faithful loop port, used only as the golden
+  oracle in tests (this is the "pure-Python float32 oracle", SURVEY.md §5.1),
+* ``contains_batch`` / ``contains_batch_edges`` — vectorized numpy kernels
+  used inside pandas UDFs at runtime (SURVEY.md §2.2 F4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+F32 = np.float32
+
+# Max float32 element-pairs per broadcasted chunk (points x edges); keeps the
+# temporary masks < ~64 MB so executor Python workers never balloon.
+_CHUNK_CELLS = 4_000_000
+
+
+def ray_intersects_segment_scalar(p_lat, p_lng, a_lat, a_lng, b_lat, b_lng) -> bool:
+    """Line-faithful float32 port of rayIntersectsSegment (polygon.go:113-116)."""
+    p_lat, p_lng = F32(p_lat), F32(p_lng)
+    a_lat, a_lng = F32(a_lat), F32(a_lng)
+    b_lat, b_lng = F32(b_lat), F32(b_lng)
+    if (a_lng > p_lng) == (b_lng > p_lng):
+        return False
+    # each binary op rounds to float32, matching Go float32 evaluation order
+    t = F32(F32(F32(F32(b_lat - a_lat) * F32(p_lng - a_lng)) / F32(b_lng - a_lng)) + a_lat)
+    return bool(p_lat < t)
+
+
+def contains_scalar(ring_lat, ring_lng, p_lat, p_lng) -> bool:
+    """Golden oracle: loop port of ContainsLatLng (polygon.go:100-111)."""
+    v = len(ring_lat)
+    if v < 3:
+        return False
+    inside = ray_intersects_segment_scalar(
+        p_lat, p_lng, ring_lat[v - 1], ring_lng[v - 1], ring_lat[0], ring_lng[0]
+    )
+    for i in range(1, v):
+        if ray_intersects_segment_scalar(
+            p_lat, p_lng, ring_lat[i - 1], ring_lng[i - 1], ring_lat[i], ring_lng[i]
+        ):
+            inside = not inside
+    return inside
+
+
+def ring_edges(ring_lat: np.ndarray, ring_lng: np.ndarray):
+    """Edge arrays (a -> b) for a ring, closing edge first (polygon.go:104).
+
+    Returns (a_lat, a_lng, b_lat, b_lng) float32 arrays of length V.
+    """
+    ring_lat = np.asarray(ring_lat, dtype=F32)
+    ring_lng = np.asarray(ring_lng, dtype=F32)
+    a_lat = np.roll(ring_lat, 1)  # a = v[i-1], with a[0] = v[-1] (closing edge)
+    a_lng = np.roll(ring_lng, 1)
+    return a_lat, a_lng, ring_lat.copy(), ring_lng.copy()
+
+
+def contains_batch_edges(
+    a_lat: np.ndarray,
+    a_lng: np.ndarray,
+    b_lat: np.ndarray,
+    b_lng: np.ndarray,
+    p_lat: np.ndarray,
+    p_lng: np.ndarray,
+) -> np.ndarray:
+    """Vectorized even-odd ray cast of N points against E edges.
+
+    Edge arrays may be any subset of a ring's edges whose omitted edges are
+    guaranteed non-crossing for every query point (the cell-cover compiler
+    relies on this to prune far-away edges, see cells.py). Parity over the
+    subset then equals parity over the full ring.
+
+    All comparisons/math in float32, matching polygon.go:113-116.
+    Returns a bool array of shape (N,).
+    """
+    p_lat = np.asarray(p_lat, dtype=F32)
+    p_lng = np.asarray(p_lng, dtype=F32)
+    n, e = p_lat.shape[0], a_lat.shape[0]
+    if e == 0 or n == 0:
+        return np.zeros(n, dtype=bool)
+
+    out = np.zeros(n, dtype=bool)
+    # chunk over points so the (chunk, E) temporaries stay bounded
+    step = max(1, _CHUNK_CELLS // max(e, 1))
+    for s in range(0, n, step):
+        pl = p_lat[s : s + step, None]  # (c,1)
+        pg = p_lng[s : s + step, None]
+        straddle = (a_lng[None, :] > pg) != (b_lng[None, :] > pg)  # (c,E)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            dlat = b_lat - a_lat  # (E,) f32
+            dlng = b_lng - a_lng
+            t = (dlat[None, :] * (pg - a_lng[None, :])) / dlng[None, :] + a_lat[None, :]
+        cross = straddle & (pl < t)
+        out[s : s + step] = np.bitwise_xor.reduce(cross, axis=1)
+    return out
+
+
+def contains_batch(ring_lat, ring_lng, p_lat, p_lng) -> np.ndarray:
+    """Vectorized ContainsLatLng of N points against one full ring."""
+    ring_lat = np.asarray(ring_lat, dtype=F32)
+    if ring_lat.shape[0] < 3:
+        return np.zeros(np.asarray(p_lat).shape[0], dtype=bool)
+    a_lat, a_lng, b_lat, b_lng = ring_edges(ring_lat, ring_lng)
+    return contains_batch_edges(a_lat, a_lng, b_lat, b_lng, p_lat, p_lng)
+
+
+def ring_bbox(ring_lat, ring_lng):
+    """MBR of a ring, float32 (polygon.go:44-59 updateBounds equivalent)."""
+    ring_lat = np.asarray(ring_lat, dtype=F32)
+    ring_lng = np.asarray(ring_lng, dtype=F32)
+    return (
+        F32(ring_lat.min()),
+        F32(ring_lng.min()),
+        F32(ring_lat.max()),
+        F32(ring_lng.max()),
+    )
+
+
+def segment_bbox_overlaps_rect(
+    a_lat, a_lng, b_lat, b_lng, lat0, lng0, lat1, lng1
+) -> np.ndarray:
+    """Conservative edge-vs-rect overlap (edge bbox test), vectorized.
+
+    Used by the cover compiler: 'no edge bbox overlaps the cell' implies the
+    cell does not cross the polygon boundary, so one interior sample decides
+    the whole cell. False positives only make the cover less compact, never
+    wrong.
+    """
+    e_min_lat = np.minimum(a_lat, b_lat)
+    e_max_lat = np.maximum(a_lat, b_lat)
+    e_min_lng = np.minimum(a_lng, b_lng)
+    e_max_lng = np.maximum(a_lng, b_lng)
+    return (
+        (e_min_lat <= lat1)
+        & (e_max_lat >= lat0)
+        & (e_min_lng <= lng1)
+        & (e_max_lng >= lng0)
+    )
+
+
+def bbox_clamp_dist2_f64(
+    p_lat: np.ndarray,
+    p_lng: np.ndarray,
+    min_lat: np.ndarray,
+    min_lng: np.ndarray,
+    max_lat: np.ndarray,
+    max_lng: np.ndarray,
+) -> np.ndarray:
+    """Squared degree-space distance from N points to M zone MBRs, (N, M).
+
+    Engine definition of the kNN fallback metric (SURVEY.md §2.3 J2):
+    clamp-distance to the zone's MBR in plain degrees, computed in float64
+    from float32-truncated coordinates so the ANSI-SQL oracle
+    (GREATEST(min-lat, 0, lat-max)^2 + ...) reproduces it bit-for-bit.
+    """
+    pl = np.asarray(p_lat, dtype=F32).astype(np.float64)[:, None]
+    pg = np.asarray(p_lng, dtype=F32).astype(np.float64)[:, None]
+    dlat = np.maximum(np.maximum(min_lat[None, :] - pl, pl - max_lat[None, :]), 0.0)
+    dlng = np.maximum(np.maximum(min_lng[None, :] - pg, pg - max_lng[None, :]), 0.0)
+    return dlat * dlat + dlng * dlng

@@ -1,0 +1,164 @@
+"""Synthetic image payload codec with EXIF-style GPS header.
+
+The container has no image libraries (no PIL), so the payload format is our
+own deterministic codec (FIXTURES.md §1) — the point is the Spark-side
+plumbing (schema, batch shape, vectorized extraction), not JPEG fidelity.
+
+Byte layout (little-endian, fixed offsets so a whole Arrow batch of headers
+parses with ONE np.frombuffer — no per-row Python in the hot path):
+
+    magic 'TZI1' (4B) | lat float32 | lng float32 | w uint16 | h uint16 |
+    fmt uint8 (0=raw, 1=rle, 2=qnt) | payload
+
+lat/lng are float32 BY CONSTRUCTION, matching the reference's coordinate
+precision (geo/latlng.go:15-17, 29-31 — float64 API truncated to float32).
+
+Codecs:
+    raw — RGB uint8, C-order (lossless)
+    rle — byte-level run-length pairs (count u8, value u8) (lossless)
+    qnt — 6-bit quantization: q = p >> 2, decode (q << 2) + 2; max abs error
+          2 -> PSNR >= 20*log10(255/2) ~= 42 dB for ANY input (lossy, meets
+          the >=40 dB invariant unconditionally)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+MAGIC = b"TZI1"
+HEADER_LEN = 17
+FMT_CODES = {"raw": 0, "rle": 1, "qnt": 2}
+FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
+
+_HEADER_DTYPE = np.dtype(
+    [
+        ("magic", "S4"),
+        ("lat", "<f4"),
+        ("lng", "<f4"),
+        ("w", "<u2"),
+        ("h", "<u2"),
+        ("fmt", "u1"),
+    ]
+)
+assert _HEADER_DTYPE.itemsize == HEADER_LEN
+
+
+def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic gradient + sinusoid pixels keyed on row index ``i``.
+
+    Smooth content (so RLE finds runs and quantization error is benign) but
+    unique per i. Returns (h, w, 3) uint8.
+    """
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = (xx * 255.0 / max(w - 1, 1) + yy * 255.0 / max(h - 1, 1)) / 2.0
+    phase = (i * 37) % 256
+    r = base
+    g = (base + phase) % 256.0
+    b = 127.5 + 127.5 * np.sin((xx + yy) / 7.0 + i * 0.31)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def rle_encode(flat: np.ndarray) -> bytes:
+    """Byte-level RLE: (count u8, value u8) pairs; runs > 255 are split."""
+    flat = np.ascontiguousarray(flat, dtype=np.uint8).ravel()
+    if flat.size == 0:
+        return b""
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [flat.size]])
+    lengths = ends - starts
+    values = flat[starts]
+    # split runs longer than 255
+    n_chunks = (lengths + 254) // 255
+    out_vals = np.repeat(values, n_chunks)
+    out_lens = np.empty(out_vals.shape[0], dtype=np.int64)
+    pos = 0
+    for ln, nc in zip(lengths, n_chunks):
+        full, rem = divmod(int(ln), 255)
+        for k in range(int(nc)):
+            out_lens[pos] = 255 if k < full else (rem if rem else 255)
+            pos += 1
+    pairs = np.empty(out_vals.shape[0] * 2, dtype=np.uint8)
+    pairs[0::2] = out_lens.astype(np.uint8)
+    pairs[1::2] = out_vals
+    return pairs.tobytes()
+
+
+def rle_decode(buf: bytes) -> np.ndarray:
+    pairs = np.frombuffer(buf, dtype=np.uint8)
+    return np.repeat(pairs[1::2], pairs[0::2].astype(np.int64))
+
+
+def encode_image(i: int, lat: float, lng: float, w: int, h: int, fmt: str) -> tuple:
+    """-> (bytes, phash int64, pixels). Deterministic for (i, w, h, fmt)."""
+    pix = synth_pixels(i, w, h)
+    flat = pix.ravel()
+    if fmt == "raw":
+        payload = flat.tobytes()
+    elif fmt == "rle":
+        payload = rle_encode(flat)
+    elif fmt == "qnt":
+        payload = (flat >> 2).tobytes()
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    hdr = np.zeros(1, dtype=_HEADER_DTYPE)
+    hdr["magic"] = MAGIC
+    hdr["lat"] = np.float32(lat)
+    hdr["lng"] = np.float32(lng)
+    hdr["w"] = w
+    hdr["h"] = h
+    hdr["fmt"] = FMT_CODES[fmt]
+    phash = int.from_bytes(
+        hashlib.blake2b(pix.tobytes(), digest_size=8).digest(), "little", signed=True
+    )
+    return hdr.tobytes() + payload, phash, pix
+
+
+def decode_image(buf: bytes) -> tuple:
+    """-> (lat f32, lng f32, pixels (h,w,3) uint8). Inverse of encode."""
+    hdr = np.frombuffer(buf[:HEADER_LEN], dtype=_HEADER_DTYPE)[0]
+    if bytes(hdr["magic"]) != MAGIC:
+        raise ValueError("bad magic")
+    w, h, fmt = int(hdr["w"]), int(hdr["h"]), int(hdr["fmt"])
+    payload = buf[HEADER_LEN:]
+    if fmt == FMT_CODES["raw"]:
+        flat = np.frombuffer(payload, dtype=np.uint8)
+    elif fmt == FMT_CODES["rle"]:
+        flat = rle_decode(payload)
+    else:  # qnt: dequantize to run-center
+        q = np.frombuffer(payload, dtype=np.uint8)
+        flat = ((q << 2) + 2).astype(np.uint8)
+    return np.float32(hdr["lat"]), np.float32(hdr["lng"]), flat.reshape(h, w, 3)
+
+
+def extract_gps_batch(bufs) -> tuple:
+    """Vectorized GPS extraction from a batch of image blobs.
+
+    One np.frombuffer over the concatenated fixed-size header prefix — the
+    Arrow-batch analog of the reference's zero-copy mmap reinterpret
+    (geo/polygon.go:119-144). Returns (lat f32 array, lng f32 array,
+    valid bool array). Blobs shorter than the header or with a bad magic are
+    flagged invalid (quarantine path, timezone.go:62-64 analog).
+    """
+    n = len(bufs)
+    prefix = bytearray(n * HEADER_LEN)
+    ok = np.ones(n, dtype=bool)
+    for k, b in enumerate(bufs):  # cheap memcpy of 17B slices, no parsing
+        if b is None or len(b) < HEADER_LEN:
+            ok[k] = False
+            continue
+        prefix[k * HEADER_LEN : (k + 1) * HEADER_LEN] = b[:HEADER_LEN]
+    hdr = np.frombuffer(bytes(prefix), dtype=_HEADER_DTYPE)
+    ok &= hdr["magic"] == MAGIC
+    return hdr["lat"].copy(), hdr["lng"].copy(), ok
+
+
+def psnr(orig: np.ndarray, decoded: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for bit-identical)."""
+    err = orig.astype(np.float64) - decoded.astype(np.float64)
+    mse = float(np.mean(err * err))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0 / np.sqrt(mse))
