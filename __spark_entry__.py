@@ -1,38 +1,80 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Engine: tzspark/ — see SURVEY.md. Geo queries derive points from `events`
+and rectangular zones from `nation` (FIXTURES.md §4); q10-q12 run the real
+float32 PIP / cell-cover / kNN kernels inside pandas UDFs against pure-SQL
+oracles. Text/similarity queries cover the training-data operator families
+over `documents` / `embeddings`. Queries q24+ are not ANSI-SQL-expressible
+(image decode, raster tiling, full synthetic-zone engine) -> rows-only
+driver check + pytest goldens (tests/).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# executors' python workers must import tzspark too
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: synthesize the image+caption
+    table from `events` (EXIF-style GPS in the blob), then run the full
+    engine — vectorized GPS extract -> cell encode -> broadcast compiled-
+    cover PIP resolve -> kNN fallback -> tzid attach (broadcast hash join) ->
+    per-zone rollup."""
+    from tzspark.datasets import images_from_events
+    from tzspark.engine import assign_timezones, broadcast_cover, zone_dim_df
+    from tzspark.zones import make_zones
+
+    sf_dir = "/root/testdata/sf0.001"
+    zones = make_zones(n_coast=8000)
+    idx_b, _stats = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+    imgs = images_from_events(spark, sf_dir)
+    assigned = assign_timezones(imgs, idx_b, dim)
+    return (
+        assigned.groupBy("zone_id", "tzid")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("via_knn").cast("long")).alias("n_via_knn"),
+            F.round(F.avg("lat"), 4).alias("avg_lat"),
+            F.round(F.avg("lng"), 4).alias("avg_lng"),
+        )
+        .orderBy("zone_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ §2.7)."""
+    from tzspark.queries_extra import EXTRA_QUERIES
+    from tzspark.queries_geo import GEO_QUERIES
+    from tzspark.queries_text import TEXT_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, (fn, _sql) in {**GEO_QUERIES, **TEXT_QUERIES}.items():
+        out[name] = fn
+    out.update(EXTRA_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle per query; non-SQL-expressible ops are omitted
+    (image decode/PSNR, raster tiling, full synthetic-zone engine)."""
+    from tzspark.queries_geo import GEO_QUERIES
+    from tzspark.queries_text import TEXT_QUERIES
+
+    return {name: sql for name, (_fn, sql) in {**GEO_QUERIES, **TEXT_QUERIES}.items()}

@@ -1,0 +1,335 @@
+"""The distributed pipeline: DataFrame plan + vectorized UDF kernels.
+
+Spark-first re-expression of the reference's query lifecycle
+(/root/reference/timezone.go:58-78 `Search`): the R-tree probe becomes a
+broadcast compiled cell cover probed inside Arrow-batched pandas UDFs, the
+per-point loop becomes one declarative DataFrame plan that Catalyst optimizes
+(validity filter pushed to the scan, tzid attach as a broadcast hash join,
+tile rollup as a salted two-phase aggregation).
+
+Scale notes (the 100 TB design, tested at local[*]):
+* the ONLY shuffle in the lookup path is none at all — GPS extract, cell
+  encode, cover probe and kNN fallback are all per-row/narrow; tzid attach is
+  a broadcast join; so the join scales linearly with executors,
+* the compiled cover is broadcast once per job (tens of MB for the real
+  timezone set — same order as the reference's ~50 MB mmap db),
+* resolve + kNN run in ONE pass inside the UDF (no second scan, no cache of
+  the matched/unmatched split); `via_knn` is emitted so downstream can audit,
+* skewed tiles (dense urban cells) are handled at aggregation time by salted
+  two-phase group-by + AQE (spark.sql.adaptive.skewJoin for join paths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .cells import (
+    DEFAULT_MAX_RES,
+    CompiledIndex,
+    cell_id_col,
+    compile_cover,
+    knn_fallback,
+    resolve_points,
+)
+from .imagecodec import decode_image, extract_gps_batch
+from .zones import make_zones
+
+
+def get_spark(
+    app: str = "tzspark",
+    master: str = None,
+    shuffle_partitions: int = 32,
+    extra_conf: dict = None,
+) -> SparkSession:
+    """Session tuned for the engine: AQE + Arrow on, skew join handling."""
+    import os
+
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        b = b.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# zone table (dimension + full ring table)
+# ---------------------------------------------------------------------------
+
+ZONE_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.IntegerType(), False),
+        T.StructField("tzid", T.StringType(), False),
+        T.StructField("min_lat", T.FloatType(), False),
+        T.StructField("min_lng", T.FloatType(), False),
+        T.StructField("max_lat", T.FloatType(), False),
+        T.StructField("max_lng", T.FloatType(), False),
+    ]
+)
+
+ZONE_TABLE_SCHEMA = T.StructType(
+    ZONE_DIM_SCHEMA.fields
+    + [
+        T.StructField("lats", T.ArrayType(T.FloatType()), False),
+        T.StructField("lngs", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def zone_dim_df(spark: SparkSession, zones: list) -> DataFrame:
+    """Small zone dimension (id, tzid, MBR) — always broadcast-joined."""
+    rows = []
+    for z in sorted(zones, key=lambda z: z.zone_id):
+        b = z.bbox
+        rows.append(
+            (int(z.zone_id), z.tzid, float(b[0]), float(b[1]), float(b[2]), float(b[3]))
+        )
+    return spark.createDataFrame(rows, ZONE_DIM_SCHEMA)
+
+
+def zone_table_df(spark: SparkSession, zones: list) -> DataFrame:
+    """Full zone table incl. vertex rings — the engine analog of the
+    reference's binary store rows (timezone.go:29-45 AddTimezone flatten)."""
+    rows = []
+    for z in sorted(zones, key=lambda z: z.zone_id):
+        b = z.bbox
+        rows.append(
+            (
+                int(z.zone_id),
+                z.tzid,
+                float(b[0]),
+                float(b[1]),
+                float(b[2]),
+                float(b[3]),
+                [float(x) for x in z.ring_lat],
+                [float(x) for x in z.ring_lng],
+            )
+        )
+    return spark.createDataFrame(rows, ZONE_TABLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# vectorized UDF kernels
+# ---------------------------------------------------------------------------
+
+GPS_STRUCT = T.StructType(
+    [
+        T.StructField("lat", T.FloatType(), True),
+        T.StructField("lng", T.FloatType(), True),
+        T.StructField("gps_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def extract_gps_udf():
+    """pandas_udf: image bytes -> (lat, lng, gps_ok). One np.frombuffer per
+    Arrow batch over the fixed-width header prefix — no per-row parsing."""
+
+    @F.pandas_udf(GPS_STRUCT)
+    def _extract(b: pd.Series) -> pd.DataFrame:
+        lat, lng, ok = extract_gps_batch(b.tolist())
+        lat = lat.astype(np.float32)
+        lng = lng.astype(np.float32)
+        return pd.DataFrame({"lat": lat, "lng": lng, "gps_ok": ok})
+
+    return _extract
+
+
+ASSIGN_STRUCT = T.StructType(
+    [
+        T.StructField("zone_id", T.IntegerType(), False),
+        T.StructField("via_knn", T.BooleanType(), False),
+    ]
+)
+
+
+def assign_udf(idx_bcast):
+    """pandas_udf: (lat, lng) -> (zone_id, via_knn). One pass: interior-cell
+    O(1) hit, boundary-cell exact float32 ray cast, kNN for the remainder —
+    the whole reference `Search` (timezone.go:58-78) per Arrow batch."""
+
+    @F.pandas_udf(ASSIGN_STRUCT)
+    def _assign(lat: pd.Series, lng: pd.Series) -> pd.DataFrame:
+        idx: CompiledIndex = idx_bcast.value
+        la = lat.to_numpy(dtype=np.float32, na_value=np.nan)
+        lg = lng.to_numpy(dtype=np.float32, na_value=np.nan)
+        zid = resolve_points(idx, la, lg)
+        un = zid == -1
+        if un.any():
+            zid = zid.copy()
+            zid[un] = knn_fallback(idx, la[un], lg[un])
+        return pd.DataFrame({"zone_id": zid.astype(np.int32), "via_knn": un})
+
+    return _assign
+
+
+def resolve_only_udf(idx_bcast):
+    """pandas_udf: (lat, lng) -> zone_id, -1 when no containing zone (no kNN).
+    Used by the oracle-checked exact-containment queries."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _resolve(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        idx: CompiledIndex = idx_bcast.value
+        la = lat.to_numpy(dtype=np.float32, na_value=np.nan)
+        lg = lng.to_numpy(dtype=np.float32, na_value=np.nan)
+        return pd.Series(resolve_points(idx, la, lg))
+
+    return _resolve
+
+
+def knn_only_udf(idx_bcast):
+    """pandas_udf: (lat, lng) -> nearest zone_id (clamp distance to MBR)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def _knn(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        idx: CompiledIndex = idx_bcast.value
+        la = lat.to_numpy(dtype=np.float32, na_value=np.nan)
+        lg = lng.to_numpy(dtype=np.float32, na_value=np.nan)
+        return pd.Series(knn_fallback(idx, la, lg))
+
+    return _knn
+
+
+# ---------------------------------------------------------------------------
+# the pipeline
+# ---------------------------------------------------------------------------
+
+
+def broadcast_cover(spark: SparkSession, zones: list, base_res=4, max_res=DEFAULT_MAX_RES):
+    """Driver-side compile + broadcast (reference BuildRtree analog)."""
+    idx = compile_cover(zones, base_res=base_res, max_res=max_res)
+    return spark.sparkContext.broadcast(idx), idx.stats
+
+
+def assign_timezones(
+    images: DataFrame,
+    idx_bcast,
+    zone_dim: DataFrame,
+    max_res: int = DEFAULT_MAX_RES,
+) -> DataFrame:
+    """Full lookup pipeline over the input_hint image table.
+
+    images(image_id, bytes, w, h, fmt, caption, phash) ->
+    + lat, lng (float32, from EXIF-style header)
+    + quarantined flag (bad blob OR out-of-domain coords — the engine's
+      row-level form of ErrCoordinatesNotValid, timezone.go:62-64)
+    + cell_id (pure column arithmetic, no UDF, no shuffle)
+    + zone_id, via_knn (broadcast cover probe)
+    + tzid (broadcast hash join on the small zone dimension)
+    """
+    gps = images.withColumn("g", extract_gps_udf()(F.col("bytes")))
+    pts = gps.select(
+        "*",
+        F.col("g.lat").alias("lat"),
+        F.col("g.lng").alias("lng"),
+        (
+            ~F.col("g.gps_ok")
+            | ~F.col("g.lat").between(-90.0, 90.0)
+            | ~F.col("g.lng").between(-180.0, 180.0)
+        ).alias("quarantined"),
+    ).drop("g")
+    ok = pts.where(~F.col("quarantined")).withColumn(
+        "cell_id", cell_id_col(F.col("lat"), F.col("lng"), max_res)
+    )
+    assigned = ok.withColumn("a", assign_udf(idx_bcast)(F.col("lat"), F.col("lng")))
+    assigned = assigned.select(
+        "*", F.col("a.zone_id").alias("zone_id"), F.col("a.via_knn").alias("via_knn")
+    ).drop("a")
+    return assigned.join(F.broadcast(zone_dim.select("zone_id", "tzid")), "zone_id", "left")
+
+
+def quarantined_rows(images: DataFrame) -> DataFrame:
+    """The rows assign_timezones drops — routed to a side output instead of
+    erroring the job (reference errors per-call, timezone.go:62-64)."""
+    gps = images.withColumn("g", extract_gps_udf()(F.col("bytes")))
+    return gps.where(
+        ~F.col("g.gps_ok")
+        | ~F.col("g.lat").between(-90.0, 90.0)
+        | ~F.col("g.lng").between(-180.0, 180.0)
+    ).select("image_id", F.col("g.lat").alias("lat"), F.col("g.lng").alias("lng"))
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector tiling (applyInPandas over tile groups)
+# ---------------------------------------------------------------------------
+
+TILE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("cell_id", T.LongType(), False),
+        T.StructField("n_images", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+        T.StructField("mean_lat", T.DoubleType(), False),
+        T.StructField("mean_lng", T.DoubleType(), False),
+    ]
+)
+
+
+def tile_rollup(assigned_with_bytes: DataFrame) -> DataFrame:
+    """Group decoded images by cell (tile) and compute raster stats.
+
+    The raster<->vector step of the north_star: each tile's images are
+    decoded to numpy inside one applyInPandas group, stats computed on the
+    stacked pixel data. Salting is unnecessary here because the group output
+    is tiny (one row per tile); AQE rebalances the shuffle if tiles skew.
+    """
+
+    def _tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_pix = 0
+        luma_sum = 0.0
+        for buf in pdf["bytes"]:
+            _, _, pix = decode_image(bytes(buf))
+            n_pix += pix.size // 3
+            # Rec.601 luma on the decoded raster
+            luma_sum += float(
+                (0.299 * pix[..., 0] + 0.587 * pix[..., 1] + 0.114 * pix[..., 2]).sum()
+            )
+        return pd.DataFrame(
+            {
+                "cell_id": [pdf["cell_id"].iloc[0]],
+                "n_images": [len(pdf)],
+                "n_pixels": [n_pix],
+                "mean_luma": [luma_sum / max(n_pix, 1)],
+                "mean_lat": [float(pdf["lat"].mean())],
+                "mean_lng": [float(pdf["lng"].mean())],
+            }
+        )
+
+    return (
+        assigned_with_bytes.select("cell_id", "bytes", "lat", "lng")
+        .groupBy("cell_id")
+        .applyInPandas(_tile, TILE_STATS_SCHEMA)
+    )
+
+
+def salted_tile_counts(assigned: DataFrame, n_salt: int = 8) -> DataFrame:
+    """Two-phase salted aggregation for skewed cells: partial count per
+    (cell_id, salt) then final per cell_id. Equivalent to a plain groupBy
+    (Catalyst's partial aggregation does this for counts already; the salt
+    matters for applyInPandas-style holistic aggs and is kept explicit here
+    as the documented skew pattern, SURVEY.md §2.4)."""
+    salted = assigned.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("image_id")), F.lit(n_salt))
+    )
+    partial = salted.groupBy("cell_id", "salt").agg(
+        F.count("*").alias("pc"),
+        F.sum(F.col("via_knn").cast("long")).alias("pk"),
+    )
+    return partial.groupBy("cell_id").agg(
+        F.sum("pc").alias("n_images"), F.sum("pk").alias("n_via_knn")
+    )

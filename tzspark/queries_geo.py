@@ -1,0 +1,448 @@
+"""Geo operator queries with ANSI-SQL DuckDB oracles.
+
+Each entry: a PySpark DataFrame query (spark, sf_dir) -> DataFrame plus an
+equivalent DuckDB SQL string over the same parquet views. Points are derived
+deterministically from `events` and rectangular zones from `nation`
+(FIXTURES.md §4 recipe) so both engines compute identical doubles.
+
+The queries that matter most are q10-q12: they run the REAL engine kernels
+(float32 ray-cast PIP, compiled cell cover, kNN clamp distance) inside
+pandas UDFs and are checked against pure SQL — possible because rectangle
+PIP under the reference's half-open edge semantics (SURVEY.md §1.3) is
+exactly `lat >= min_lat AND lat < max_lat AND lng >= min_lng AND lng <
+max_lng` on float32-truncated coordinates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .cells import Zone, cell_id_col, cell_id_sql, compile_cover
+from .geom import F32
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+PTS_SQL = """
+SELECT event_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+"""
+
+BOXES_SQL = """
+SELECT n_nationkey AS zone_id,
+       n_name AS tzid,
+       CAST((n_nationkey % 5) * 12 - 30 AS DOUBLE) AS min_lat,
+       CAST((n_nationkey % 5) * 12 - 18 AS DOUBLE) AS max_lat,
+       CAST(CAST(FLOOR(n_nationkey / 5) AS INTEGER) * 20 - 50 AS DOUBLE) AS min_lng,
+       CAST(CAST(FLOOR(n_nationkey / 5) AS INTEGER) * 20 - 30 AS DOUBLE) AS max_lng
+FROM nation
+"""
+
+
+def pts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        ((F.col("user_id") * 7 % 180) - 90 + F.col("value") / 1e6).alias("lat"),
+        ((F.col("event_id") * 13 % 360) - 180).cast("double").alias("lng"),
+    )
+
+
+def boxes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    lat0 = ((F.col("n_nationkey") % 5) * 12 - 30).cast("double")
+    lng0 = (F.floor(F.col("n_nationkey") / 5).cast("int") * 20 - 50).cast("double")
+    return na.select(
+        F.col("n_nationkey").alias("zone_id"),
+        F.col("n_name").alias("tzid"),
+        lat0.alias("min_lat"),
+        (lat0 + 12).alias("max_lat"),
+        lng0.alias("min_lng"),
+        (lng0 + 20).alias("max_lng"),
+    )
+
+
+def box_zones(spark: SparkSession, sf_dir: str) -> list:
+    """nation boxes as Zone rings (integer corners -> float32-exact)."""
+    rows = boxes_df(spark, sf_dir).collect()
+    zones = []
+    for r in rows:
+        la0, la1 = r["min_lat"], r["max_lat"]
+        lg0, lg1 = r["min_lng"], r["max_lng"]
+        zones.append(
+            Zone(
+                int(r["zone_id"]),
+                r["tzid"],
+                np.array([la0, la0, la1, la1], F32),
+                np.array([lg0, lg1, lg1, lg0], F32),
+            )
+        )
+    return zones
+
+
+_CONTAIN = (
+    "p.lat >= b.min_lat AND p.lat < b.max_lat "
+    "AND p.lng >= b.min_lng AND p.lng < b.max_lng"
+)
+_CONTAIN_F32 = (
+    "CAST(p.lat AS FLOAT) >= b.min_lat AND CAST(p.lat AS FLOAT) < b.max_lat "
+    "AND CAST(p.lng AS FLOAT) >= b.min_lng AND CAST(p.lng AS FLOAT) < b.max_lng"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q01_validity_filter(spark, sf_dir):
+    """F1: domain predicate + quarantine routing (some rows made invalid)."""
+    p = pts_df(spark, sf_dir).withColumn(
+        "lat", F.when(F.col("event_id") % 97 == 0, F.col("lat") * 2).otherwise(F.col("lat"))
+    )
+    return p.select(
+        "event_id",
+        "lat",
+        "lng",
+        (
+            F.col("lat").between(-90.0, 90.0) & F.col("lng").between(-180.0, 180.0)
+        ).alias("is_valid"),
+    )
+
+
+Q01_SQL = f"""
+WITH pts AS ({PTS_SQL})
+SELECT event_id,
+       CASE WHEN event_id % 97 = 0 THEN lat * 2 ELSE lat END AS lat,
+       lng,
+       (CASE WHEN event_id % 97 = 0 THEN lat * 2 ELSE lat END BETWEEN -90 AND 90
+        AND lng BETWEEN -180 AND 180) AS is_valid
+FROM pts
+"""
+
+
+def q02_cell_encode(spark, sf_dir):
+    """Cell-id encode: pure column arithmetic, no UDF, no shuffle."""
+    p = pts_df(spark, sf_dir)
+    return p.select(
+        "event_id",
+        cell_id_col(F.col("lat"), F.col("lng"), 9).alias("cell_r9"),
+        cell_id_col(F.col("lat"), F.col("lng"), 4).alias("cell_r4"),
+    )
+
+
+Q02_SQL = f"""
+WITH pts AS ({PTS_SQL})
+SELECT event_id,
+       {cell_id_sql('lat', 'lng', 9)} AS cell_r9,
+       {cell_id_sql('lat', 'lng', 4)} AS cell_r4
+FROM pts
+"""
+
+
+def q03_bbox_join(spark, sf_dir):
+    """J3: half-open bbox range join, small side broadcast."""
+    p = pts_df(spark, sf_dir)
+    b = boxes_df(spark, sf_dir)
+    cond = (
+        (p.lat >= b.min_lat)
+        & (p.lat < b.max_lat)
+        & (p.lng >= b.min_lng)
+        & (p.lng < b.max_lng)
+    )
+    return p.join(F.broadcast(b), cond, "inner").select("event_id", "zone_id", "tzid")
+
+
+Q03_SQL = f"""
+WITH pts AS ({PTS_SQL}), boxes AS ({BOXES_SQL})
+SELECT p.event_id, b.zone_id, b.tzid
+FROM pts p JOIN boxes b ON {_CONTAIN}
+"""
+
+
+def q04_deterministic_match(spark, sf_dir):
+    """J1 disambiguation: boxes widened to overlap -> row_number by zone_id
+    picks the deterministic min (the engine's argmin semantics)."""
+    p = pts_df(spark, sf_dir)
+    b = boxes_df(spark, sf_dir).select(
+        "zone_id",
+        (F.col("min_lat") - 4).alias("min_lat"),
+        (F.col("max_lat") + 4).alias("max_lat"),
+        (F.col("min_lng") - 6).alias("min_lng"),
+        (F.col("max_lng") + 6).alias("max_lng"),
+    )
+    cond = (
+        (p.lat >= b.min_lat)
+        & (p.lat < b.max_lat)
+        & (p.lng >= b.min_lng)
+        & (p.lng < b.max_lng)
+    )
+    j = p.join(F.broadcast(b), cond, "inner")
+    w = Window.partitionBy("event_id").orderBy("zone_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "zone_id")
+    )
+
+
+Q04_SQL = f"""
+WITH pts AS ({PTS_SQL}),
+boxes AS (
+  SELECT zone_id, min_lat - 4 AS min_lat, max_lat + 4 AS max_lat,
+         min_lng - 6 AS min_lng, max_lng + 6 AS max_lng
+  FROM ({BOXES_SQL})
+)
+SELECT p.event_id, MIN(b.zone_id) AS zone_id
+FROM pts p JOIN boxes b ON {_CONTAIN}
+GROUP BY p.event_id
+"""
+
+
+def q05_knn_fallback(spark, sf_dir):
+    """J2: points in no box -> nearest box by squared clamp distance,
+    tie-break min zone_id (left-anti + broadcast cross + window argmin)."""
+    p = pts_df(spark, sf_dir)
+    b = boxes_df(spark, sf_dir)
+    cond = (
+        (p.lat >= b.min_lat)
+        & (p.lat < b.max_lat)
+        & (p.lng >= b.min_lng)
+        & (p.lng < b.max_lng)
+    )
+    un = p.join(F.broadcast(b), cond, "left_anti")
+    b2 = boxes_df(spark, sf_dir).select(
+        "zone_id",
+        F.col("min_lat").alias("b_min_lat"),
+        F.col("max_lat").alias("b_max_lat"),
+        F.col("min_lng").alias("b_min_lng"),
+        F.col("max_lng").alias("b_max_lng"),
+    )
+    x = un.crossJoin(F.broadcast(b2))
+    dlat = F.greatest(
+        F.col("b_min_lat") - F.col("lat"), F.col("lat") - F.col("b_max_lat"), F.lit(0.0)
+    )
+    dlng = F.greatest(
+        F.col("b_min_lng") - F.col("lng"), F.col("lng") - F.col("b_max_lng"), F.lit(0.0)
+    )
+    x = x.withColumn("dist2", dlat * dlat + dlng * dlng)
+    w = Window.partitionBy("event_id").orderBy("dist2", "zone_id")
+    return (
+        x.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "zone_id", F.round("dist2", 6).alias("dist2"))
+    )
+
+
+Q05_SQL = f"""
+WITH pts AS ({PTS_SQL}), boxes AS ({BOXES_SQL}),
+un AS (
+  SELECT p.* FROM pts p
+  WHERE NOT EXISTS (SELECT 1 FROM boxes b WHERE {_CONTAIN})
+),
+d AS (
+  SELECT p.event_id, b.zone_id,
+         POWER(GREATEST(b.min_lat - p.lat, p.lat - b.max_lat, 0), 2)
+       + POWER(GREATEST(b.min_lng - p.lng, p.lng - b.max_lng, 0), 2) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY POWER(GREATEST(b.min_lat - p.lat, p.lat - b.max_lat, 0), 2)
+                                   + POWER(GREATEST(b.min_lng - p.lng, p.lng - b.max_lng, 0), 2),
+                                     b.zone_id) AS rn
+  FROM un p CROSS JOIN boxes b
+)
+SELECT event_id, zone_id, ROUND(dist2, 6) AS dist2 FROM d WHERE rn = 1
+"""
+
+
+def q06_tile_counts(spark, sf_dir):
+    """Tile group-by: per-cell counts + value stats."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = pts_df(spark, sf_dir).join(ev.select("event_id", "value"), "event_id")
+    return (
+        p.withColumn("cell_id", cell_id_col(F.col("lat"), F.col("lng"), 6))
+        .groupBy("cell_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+Q06_SQL = f"""
+WITH pts AS ({PTS_SQL})
+SELECT {cell_id_sql('p.lat', 'p.lng', 6)} AS cell_id,
+       COUNT(*) AS n_points,
+       ROUND(SUM(e.value), 4) AS sum_value
+FROM pts p JOIN events e ON p.event_id = e.event_id
+GROUP BY 1
+"""
+
+
+def q07_salted_agg(spark, sf_dir):
+    """Skew pattern: salted two-phase aggregation == plain aggregation.
+    The oracle is the PLAIN aggregation — proving salting is semantics-free."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = pts_df(spark, sf_dir).join(ev.select("event_id", "value"), "event_id")
+    p = p.withColumn("cell_id", cell_id_col(F.col("lat"), F.col("lng"), 4))
+    salted = p.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("cell_id", "salt").agg(
+        F.count("*").alias("pc"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("cell_id").agg(
+        F.sum("pc").alias("n_points"), F.round(F.sum("pv"), 2).alias("sum_value")
+    )
+
+
+Q07_SQL = f"""
+WITH pts AS ({PTS_SQL})
+SELECT {cell_id_sql('p.lat', 'p.lng', 4)} AS cell_id,
+       COUNT(*) AS n_points,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM pts p JOIN events e ON p.event_id = e.event_id
+GROUP BY 1
+"""
+
+
+def q08_zone_bounds(spark, sf_dir):
+    """A3: global bounds of the zone set (reference RTree.Bounds analog)."""
+    b = boxes_df(spark, sf_dir)
+    return b.agg(
+        F.min("min_lat").alias("g_min_lat"),
+        F.min("min_lng").alias("g_min_lng"),
+        F.max("max_lat").alias("g_max_lat"),
+        F.max("max_lng").alias("g_max_lng"),
+        F.count("*").alias("n_zones"),
+    )
+
+
+Q08_SQL = f"""
+SELECT MIN(min_lat) AS g_min_lat, MIN(min_lng) AS g_min_lng,
+       MAX(max_lat) AS g_max_lat, MAX(max_lng) AS g_max_lng,
+       COUNT(*) AS n_zones
+FROM ({BOXES_SQL})
+"""
+
+
+def q09_zone_table_build(spark, sf_dir):
+    """S9: zone-table build with dense ordinal ids (AddTimezone analog) —
+    re-keys zones by bbox order via row_number."""
+    b = boxes_df(spark, sf_dir)
+    w = Window.orderBy("min_lat", "min_lng", "zone_id")
+    return b.select(
+        (F.row_number().over(w) - 1).alias("dense_zone_id"),
+        F.col("zone_id").alias("src_zone_id"),
+        "tzid",
+        "min_lat",
+        "min_lng",
+        "max_lat",
+        "max_lng",
+    )
+
+
+Q09_SQL = f"""
+SELECT ROW_NUMBER() OVER (ORDER BY min_lat, min_lng, zone_id) - 1 AS dense_zone_id,
+       zone_id AS src_zone_id, tzid, min_lat, min_lng, max_lat, max_lng
+FROM ({BOXES_SQL})
+"""
+
+
+def q10_pip_exact_kernel(spark, sf_dir):
+    """F4: the REAL float32 ray-cast kernel (full-ring PIP + argmin, no cell
+    cover) against rectangle rings — oracle: half-open f32 containment."""
+    from .zones import oracle_resolve
+
+    zones = box_zones(spark, sf_dir)
+    bz = spark.sparkContext.broadcast(zones)
+
+    @F.pandas_udf(T.IntegerType())
+    def _pip(lat: pd.Series, lng: pd.Series) -> pd.Series:
+        la = lat.to_numpy(dtype=np.float32)
+        lg = lng.to_numpy(dtype=np.float32)
+        zid, _ = oracle_resolve(bz.value, la, lg)
+        return pd.Series(zid)
+
+    p = pts_df(spark, sf_dir)
+    return p.select("event_id", _pip(F.col("lat"), F.col("lng")).alias("zone_id"))
+
+
+Q10_SQL = f"""
+WITH pts AS ({PTS_SQL}), boxes AS ({BOXES_SQL})
+SELECT p.event_id,
+       CAST(COALESCE(MIN(CASE WHEN {_CONTAIN_F32} THEN b.zone_id END), -1) AS INTEGER) AS zone_id
+FROM pts p CROSS JOIN boxes b
+GROUP BY p.event_id
+"""
+
+
+def q11_resolve_cover(spark, sf_dir):
+    """J1: the full engine path — compiled cell cover (interior shortcut +
+    boundary exact PIP) probed in a pandas UDF. Same oracle as q10."""
+    from .engine import resolve_only_udf
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    bidx = spark.sparkContext.broadcast(idx)
+    p = pts_df(spark, sf_dir)
+    return p.select(
+        "event_id", resolve_only_udf(bidx)(F.col("lat"), F.col("lng")).alias("zone_id")
+    )
+
+
+Q11_SQL = Q10_SQL
+
+
+def q12_knn_engine(spark, sf_dir):
+    """J2 engine kernel: unmatched points -> numpy clamp-distance argmin."""
+    from .engine import knn_only_udf, resolve_only_udf
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    bidx = spark.sparkContext.broadcast(idx)
+    p = pts_df(spark, sf_dir)
+    r = p.withColumn("zid", resolve_only_udf(bidx)(F.col("lat"), F.col("lng")))
+    un = r.where(F.col("zid") == -1)
+    return un.select(
+        "event_id", knn_only_udf(bidx)(F.col("lat"), F.col("lng")).alias("zone_id")
+    )
+
+
+Q12_SQL = f"""
+WITH pts AS ({PTS_SQL}), boxes AS ({BOXES_SQL}),
+un AS (
+  SELECT p.* FROM pts p
+  WHERE NOT EXISTS (SELECT 1 FROM boxes b WHERE {_CONTAIN_F32})
+),
+d AS (
+  SELECT p.event_id, b.zone_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY POWER(GREATEST(b.min_lat - CAST(p.lat AS FLOAT), CAST(p.lat AS FLOAT) - b.max_lat, 0), 2)
+                  + POWER(GREATEST(b.min_lng - CAST(p.lng AS FLOAT), CAST(p.lng AS FLOAT) - b.max_lng, 0), 2),
+                    b.zone_id) AS rn
+  FROM un p CROSS JOIN boxes b
+)
+SELECT event_id, CAST(zone_id AS INTEGER) AS zone_id FROM d WHERE rn = 1
+"""
+
+
+GEO_QUERIES = {
+    "q01_validity_filter": (q01_validity_filter, Q01_SQL),
+    "q02_cell_encode": (q02_cell_encode, Q02_SQL),
+    "q03_bbox_join": (q03_bbox_join, Q03_SQL),
+    "q04_deterministic_match": (q04_deterministic_match, Q04_SQL),
+    "q05_knn_fallback": (q05_knn_fallback, Q05_SQL),
+    "q06_tile_counts": (q06_tile_counts, Q06_SQL),
+    "q07_salted_agg": (q07_salted_agg, Q07_SQL),
+    "q08_zone_bounds": (q08_zone_bounds, Q08_SQL),
+    "q09_zone_table_build": (q09_zone_table_build, Q09_SQL),
+    "q10_pip_exact_kernel": (q10_pip_exact_kernel, Q10_SQL),
+    "q11_resolve_cover": (q11_resolve_cover, Q11_SQL),
+    "q12_knn_engine": (q12_knn_engine, Q12_SQL),
+}

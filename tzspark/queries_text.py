@@ -1,0 +1,493 @@
+"""Training-data pipeline operators over `documents` and `embeddings`,
+each with a DuckDB SQL oracle.
+
+Covers the large-scale-pipeline operator families: exact dedup, n-gram
+Jaccard near-dup, MinHash+LSH banding, SimHash, language-ID heuristic,
+quality scoring, token counting, document fingerprinting, brute-force and
+LSH-bucketed embedding similarity. Portability rule: only functions with
+identical semantics in Spark SQL and DuckDB (md5, substring, split,
+length, replace, string agg over explicit ordering), doubles rounded at the
+output boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def q13_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash. The corpus is duplicated (doc_id+10^6)
+    first so every group has a known duplicate — the operator under test is
+    hash-groupBy + representative selection (min doc_id)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    u = d.unionAll(dup)
+    return (
+        u.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+Q13_SQL = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS rep_doc_id
+FROM u GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup ------------------------------------------------
+
+_SHINGLE_K = 8
+_SHINGLE_MAX = 60
+_JACCARD_MIN = 0.42
+
+
+def _shingles_df(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pos = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.least(F.length("text") - (_SHINGLE_K - 1), F.lit(_SHINGLE_MAX)))
+    )
+    return (
+        d.select("doc_id", F.explode(pos).alias("i"), "text")
+        .select("doc_id", F.expr(f"substring(text, i, {_SHINGLE_K})").alias("sh"))
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+SELECT DISTINCT d.doc_id, substring(d.text, CAST(i AS INTEGER), {_SHINGLE_K}) AS sh
+FROM documents d,
+     UNNEST(generate_series(1, GREATEST(1, LEAST(LENGTH(d.text) - {_SHINGLE_K - 1}, {_SHINGLE_MAX})))) AS t(i)
+"""
+
+
+def q14_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by Jaccard over distinct 8-char shingles (inverted-
+    index self-join — no quadratic pair blowup)."""
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+    )
+    return j.select("doc_a", "doc_b", "jaccard")
+
+
+Q14_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 4) >= {_JACCARD_MIN}
+"""
+
+
+# --- MinHash + LSH banding ---------------------------------------------------
+
+_N_SIGS = 8
+_BUCKET_MAX = 20
+
+
+def q15_minhash_lsh(spark, sf_dir):
+    """MinHash signatures (min of seeded md5 over shingles, lexicographic)
+    + 1-sig LSH bands -> candidate pairs from shared buckets. Mega-buckets
+    (> _BUCKET_MAX docs) are dropped, the standard LSH guard for skew."""
+    sh = _shingles_df(spark, sf_dir)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(k)), F.col("sh")))).alias(f"sig{k}")
+            for k in range(_N_SIGS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band_idx"), F.col(f"sig{k}").alias("band_val"))
+                    for k in range(_N_SIGS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    sized = bands.groupBy("band_idx", "band_val").agg(
+        F.count("*").alias("bn"), F.collect_list("doc_id").alias("ids")
+    )
+    ok = sized.where((F.col("bn") >= 2) & (F.col("bn") <= _BUCKET_MAX)).select(
+        "band_idx", "band_val"
+    )
+    bb = bands.join(ok, ["band_idx", "band_val"])
+    a = bb.alias("a")
+    b = bb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+Q15_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{k}' || sh)) AS sig{k}" for k in range(_N_SIGS))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {k} AS band_idx, sig{k} AS band_val FROM sigs" for k in range(_N_SIGS))}
+),
+ok AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {_BUCKET_MAX}
+),
+bb AS (SELECT b.* FROM bands b JOIN ok USING (band_idx, band_val))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bb a JOIN bb b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+"""
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def q16_simhash(spark, sf_dir):
+    """16-bit SimHash over whitespace tokens: bit p set iff the sum of
+    (+1/-1 by the p-th md5 nibble's high bit) over tokens is positive."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = toks.select(
+        "doc_id", F.md5("tok").alias("h"), F.explode(F.sequence(F.lit(1), F.lit(16))).alias("p")
+    )
+    w = F.when(F.substring("h", F.col("p"), 1).isin(*"89abcdef"), 1).otherwise(-1)
+    bits = toks.groupBy("doc_id", "p").agg(
+        F.when(F.sum(w) > 0, F.lit("1")).otherwise(F.lit("0")).alias("b")
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("p", "b"))).alias("pb"))
+        .select(
+            "doc_id",
+            F.array_join(F.expr("transform(pb, x -> x.b)"), "").alias("simhash"),
+        )
+    )
+
+
+Q16_SQL = """
+WITH toks AS (
+  SELECT doc_id, md5(UNNEST(string_split(text, ' '))) AS h FROM documents
+),
+bits AS (
+  SELECT doc_id, p,
+         CASE WHEN SUM(CASE WHEN substring(h, CAST(p AS INTEGER), 1)
+                            IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END) > 0
+              THEN '1' ELSE '0' END AS b
+  FROM toks, UNNEST(generate_series(1, 16)) AS t(p)
+  GROUP BY doc_id, p
+)
+SELECT doc_id, STRING_AGG(b, '' ORDER BY p) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# --- language ID / quality / tokens / fingerprint ---------------------------
+
+_LANG_MARKERS = {
+    "mk1": " the ",
+    "mk2": " data ",
+    "mk3": " spark ",
+}
+
+
+def _occ(col, marker):
+    return (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit("")))) / len(marker)
+
+
+def q17_lang_id(spark, sf_dir):
+    """Marker-n-gram language-ID heuristic: argmax of marker densities with
+    a deterministic tie order."""
+    d = _docs(spark, sf_dir)
+    t = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    s1, s2, s3 = (_occ(t, m) for m in _LANG_MARKERS.values())
+    guess = (
+        F.when((s1 >= s2) & (s1 >= s3), "m1").when(s2 >= s3, "m2").otherwise("m3")
+    )
+    return d.select(
+        "doc_id",
+        s1.cast("long").alias("n_mk1"),
+        s2.cast("long").alias("n_mk2"),
+        s3.cast("long").alias("n_mk3"),
+        guess.alias("lang_guess"),
+    )
+
+
+Q17_SQL = f"""
+WITH t AS (SELECT doc_id, ' ' || text || ' ' AS tx FROM documents),
+s AS (
+  SELECT doc_id,
+         (LENGTH(tx) - LENGTH(REPLACE(tx, '{_LANG_MARKERS["mk1"]}', ''))) / {len(_LANG_MARKERS["mk1"])} AS s1,
+         (LENGTH(tx) - LENGTH(REPLACE(tx, '{_LANG_MARKERS["mk2"]}', ''))) / {len(_LANG_MARKERS["mk2"])} AS s2,
+         (LENGTH(tx) - LENGTH(REPLACE(tx, '{_LANG_MARKERS["mk3"]}', ''))) / {len(_LANG_MARKERS["mk3"])} AS s3
+  FROM t
+)
+SELECT doc_id,
+       CAST(s1 AS BIGINT) AS n_mk1, CAST(s2 AS BIGINT) AS n_mk2, CAST(s3 AS BIGINT) AS n_mk3,
+       CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'm1'
+            WHEN s2 >= s3 THEN 'm2' ELSE 'm3' END AS lang_guess
+FROM s
+"""
+
+
+def q18_quality_score(spark, sf_dir):
+    """Quality scoring: token count, mean token length, non-alpha ratio,
+    stopword-ish density -> one rounded score."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split("text", " ")).cast("double")
+    n_char = F.length("text").cast("double")
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+    t = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    stop = _occ(t, " the ") + _occ(t, " a ")
+    score = F.round(
+        F.log(n_tok + 1.0) + 2.0 * (alpha / n_char) + 3.0 * (stop / (n_tok + 1.0)), 4
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(alpha / n_char, 4).alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+Q18_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(LENGTH(text) AS DOUBLE) AS n_char,
+         CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+         (LENGTH(' ' || text || ' ') - LENGTH(REPLACE(' ' || text || ' ', ' the ', ''))) / 5.0
+       + (LENGTH(' ' || text || ' ') - LENGTH(REPLACE(' ' || text || ' ', ' a ', ''))) / 3.0 AS stop
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       ROUND(alpha / n_char, 4) AS alpha_ratio,
+       ROUND(LN(n_tok + 1.0) + 2.0 * (alpha / n_char) + 3.0 * (stop / (n_tok + 1.0)), 4) AS quality
+FROM s
+"""
+
+
+def q19_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish 4-char-chunk estimate."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.ceil(F.length(F.regexp_replace("text", " ", "")) / 4.0)
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+Q19_SQL = """
+SELECT doc_id,
+       CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(CEIL(LENGTH(REPLACE(text, ' ', '')) / 4.0) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q20_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: min md5 over all 16-char windows (winnowing
+    reduced to a global min — deterministic, locality-sensitive-ish)."""
+    d = _docs(spark, sf_dir)
+    pos = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 15))
+    w = d.select("doc_id", F.explode(pos).alias("i"), "text").select(
+        "doc_id", F.md5(F.expr("substring(text, i, 16)")).alias("h")
+    )
+    return w.groupBy("doc_id").agg(F.min("h").alias("fingerprint"))
+
+
+Q20_SQL = """
+SELECT doc_id, MIN(md5(substring(text, CAST(i AS INTEGER), 16))) AS fingerprint
+FROM documents d,
+     UNNEST(generate_series(1, GREATEST(1, LENGTH(d.text) - 15))) AS t(i)
+GROUP BY doc_id
+"""
+
+
+# --- embedding similarity ----------------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q21_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-3: probes (vec_id < 10) x corpus (vec_id >= 10),
+    broadcast nested-loop in Spark; rank by rounded score with vec_id
+    tie-break for determinism."""
+    e = _embs(spark, sf_dir)
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    corpus = e.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+    x = corpus.crossJoin(F.broadcast(probes))
+    cos = F.round(
+        _dot(F.col("pe"), F.col("ce"))
+        / (F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))),
+        4,
+    )
+    x = x.withColumn("cosine", cos)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        x.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("probe_id", "cand_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+Q21_SQL = """
+WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+                FROM embeddings WHERE vec_id < 10),
+corpus AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS ce
+           FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT p.probe_id, c.cand_id,
+         ROUND(list_dot_product(p.pe, c.ce) /
+               (SQRT(list_dot_product(p.pe, p.pe)) * SQRT(list_dot_product(c.ce, c.ce))), 4) AS cosine
+  FROM probes p CROSS JOIN corpus c
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM rk WHERE rnk <= 3
+"""
+
+
+def q22_ann_lsh_bucket(spark, sf_dir):
+    """Sign-LSH bucketing (scale path for ANN): bucket id from the sign
+    pattern of the first 8 dims; per-bucket membership + sizes."""
+    e = _embs(spark, sf_dir)
+    bucket = None
+    for j in range(8):
+        bit = F.when(F.element_at("embedding", j + 1) > 0, F.lit(1 << j)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", "label", bucket.cast("int").alias("bucket"))
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("bucket_n"))
+    return b.join(sizes, "bucket").select("vec_id", "label", "bucket", "bucket_n")
+
+
+Q22_SQL = """
+WITH b AS (
+  SELECT vec_id, label,
+         CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+            + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+            + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+            + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+            + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+            + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+            + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS INTEGER) AS bucket
+  FROM embeddings
+),
+sz AS (SELECT bucket, COUNT(*) AS bucket_n FROM b GROUP BY 1)
+SELECT b.vec_id, b.label, b.bucket, sz.bucket_n
+FROM b JOIN sz USING (bucket)
+"""
+
+
+def q23_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks (blocked
+    quadratic — the label is the blocking key)."""
+    e = _embs(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb"))
+    x = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        4,
+    )
+    return (
+        x.withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.30)
+        .select("label", "id_a", "id_b", "cosine")
+    )
+
+
+Q23_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.v, b.v) /
+               (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, id_a, id_b, cosine FROM p WHERE cosine >= 0.30
+"""
+
+
+TEXT_QUERIES = {
+    "q13_dedup_exact": (q13_dedup_exact, Q13_SQL),
+    "q14_ngram_jaccard": (q14_ngram_jaccard, Q14_SQL),
+    "q15_minhash_lsh": (q15_minhash_lsh, Q15_SQL),
+    "q16_simhash": (q16_simhash, Q16_SQL),
+    "q17_lang_id": (q17_lang_id, Q17_SQL),
+    "q18_quality_score": (q18_quality_score, Q18_SQL),
+    "q19_token_count": (q19_token_count, Q19_SQL),
+    "q20_doc_fingerprint": (q20_doc_fingerprint, Q20_SQL),
+    "q21_ann_bruteforce": (q21_ann_bruteforce, Q21_SQL),
+    "q22_ann_lsh_bucket": (q22_ann_lsh_bucket, Q22_SQL),
+    "q23_embed_near_dup": (q23_embed_near_dup, Q23_SQL),
+}
