@@ -1,0 +1,337 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput_rows_sec": ...}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] (default 32).
+
+The image table (BASELINE.json input_hint shape, 10^9-row shape scaled down
+to $SPARK_GRAFT_BENCH_ROWS, default 1M) is synthesized once and cached as
+parquet under .bench_cache/ — queries then READ PARQUET, so timings measure
+the engine, not fixture generation.
+
+Scaling evidence (north_rule, sandbox form — no real cluster): run
+  python bench.py --scaling
+to execute the flagship pipeline at local[8] and local[32] in separate
+processes on the SAME cached input and print throughput at both plus
+efficiency = (thr32/thr8)/4. Single-run child mode: --single-run CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+CACHE = os.path.join(_REPO, ".bench_cache")
+
+
+def _sf_tag() -> str:
+    return os.path.basename(SF_DIR.rstrip("/")) + f"_{N_ROWS}"
+
+
+def images_path() -> str:
+    return os.path.join(CACHE, f"images_{_sf_tag()}.parquet")
+
+
+def ensure_images(spark) -> str:
+    """Synthesize + cache the image table once (deterministic in row index)."""
+    path = images_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from tzspark.datasets import images_df
+
+        images_df(spark, N_ROWS, partitions=max(CPUS * 2, 16)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def run_pipeline(spark, images):
+    """The flagship lookup: extract -> cell encode -> broadcast cover probe
+    (resolve + kNN one pass) -> tzid broadcast join -> per-zone rollup."""
+    from tzspark.engine import assign_timezones, broadcast_cover, zone_dim_df
+    from tzspark.zones import make_zones
+
+    zones = make_zones(n_coast=20000)
+    idx_b, _ = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+    assigned = assign_timezones(images, idx_b, dim)
+    from pyspark.sql import functions as F
+
+    return assigned.groupBy("zone_id", "tzid").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("via_knn").cast("long")).alias("n_via_knn"),
+    )
+
+
+def headline_queries(spark, images):
+    """name -> thunk returning a DataFrame to fully materialize."""
+    from pyspark.sql import functions as F
+
+    from tzspark.engine import (
+        assign_timezones,
+        broadcast_cover,
+        salted_tile_counts,
+        tile_rollup,
+        zone_dim_df,
+    )
+    from tzspark.queries_geo import q05_knn_fallback, q11_resolve_cover
+    from tzspark.queries_text import q14_ngram_jaccard, q21_ann_bruteforce
+    from tzspark.zones import make_zones
+
+    zones = make_zones(n_coast=20000)
+    idx_b, _ = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+
+    def _assigned():
+        return assign_timezones(images, idx_b, dim)
+
+    return {
+        "pipeline_lookup": lambda: run_pipeline(spark, images),
+        "tile_rollup": lambda: tile_rollup(_assigned()),
+        "salted_tile_counts": lambda: salted_tile_counts(_assigned()),
+        "resolve_cover_events": lambda: q11_resolve_cover(spark, SF_DIR),
+        "knn_fallback_events": lambda: q05_knn_fallback(spark, SF_DIR),
+        "ngram_jaccard_docs": lambda: q14_ngram_jaccard(spark, SF_DIR),
+        "ann_bruteforce": lambda: q21_ann_bruteforce(spark, SF_DIR),
+    }
+
+
+def materialize(df) -> int:
+    """Force full execution without collecting data to the driver."""
+    return df.count()
+
+
+def bench_main():
+    from tzspark.engine import get_spark
+
+    spark = get_spark(app="tzspark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_images(spark)
+    images = spark.read.parquet(images_path())
+
+    # warm-up: spawn python workers, distribute broadcasts, JIT codegen —
+    # steady-state timings are what a long-running cluster job sees
+    materialize(run_pipeline(spark, images))
+
+    timings = {}
+    for name, thunk in headline_queries(spark, images).items():
+        t0 = time.time()
+        materialize(thunk())
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    thr = round(N_ROWS / timings["pipeline_lookup"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "timezone-lookup join + tiling headline queries, wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "n_images": N_ROWS,
+                "cpus": CPUS,
+                "throughput_rows_sec": thr,
+            }
+        )
+    )
+    spark.stop()
+
+
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "4000000"))
+COMPUTE_ROWS = int(os.environ.get("SPARK_GRAFT_COMPUTE_ROWS", "32000000"))
+
+
+def compute_job_df(spark, n_rows: int, n_parts: int = 256):
+    """CPU-bound core operator: the broadcast PIP lookup join over
+    coordinates derived by pure column arithmetic from spark.range — zero
+    disk I/O, so single-box scaling reflects the operator, not the shared
+    memory bus (on a real cluster, scan bandwidth scales with executors)."""
+    from pyspark.sql import functions as F
+
+    from tzspark.engine import assign_udf, broadcast_cover
+    from tzspark.zones import make_zones
+
+    zones = make_zones(n_coast=20000)
+    idx_b, _ = broadcast_cover(spark, zones)
+    pts = spark.range(0, n_rows, 1, n_parts).select(
+        ((F.pmod(F.col("id") * 7919, F.lit(50000)) / 1000.0) - 6.0)
+        .cast("float")
+        .alias("lat"),
+        ((F.pmod(F.col("id") * 104729, F.lit(50000)) / 1000.0) - 6.0)
+        .cast("float")
+        .alias("lng"),
+    )
+    a = pts.select(assign_udf(idx_b)(F.col("lat"), F.col("lng")).alias("a"))
+    return a.groupBy("a.zone_id").count()
+
+
+def single_compute_run(cpus: int):
+    from tzspark.engine import get_spark
+
+    spark = get_spark(
+        app=f"tzspark-compute-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        # kernel chunks internally (cache-sized); bigger Arrow batches just
+        # amortize per-batch serde overhead
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "65536"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # fixed 500k-row tasks at every parallelism level: constant per-task
+    # overhead fraction, so the ratio measures scaling, not amortization
+    df = compute_job_df(spark, COMPUTE_ROWS, n_parts=max(COMPUTE_ROWS // 500_000, cpus))
+    materialize(df)  # warm-up
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        materialize(df)
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]  # median of 3 — JIT/GC noise dominates short runs
+    print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
+                      "rows_sec": round(COMPUTE_ROWS / dt, 1),
+                      "all_secs": [round(t, 3) for t in times]}))
+    spark.stop()
+
+
+def _kernel_worker(args):
+    seed, n = args
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    lat = rng.uniform(-8, 44, n).astype(np.float32)
+    lng = rng.uniform(-8, 44, n).astype(np.float32)
+    t0 = time.time()
+    from tzspark.cells import resolve_points
+
+    for s in range(0, n, 50_000):
+        resolve_points(_KIDX, lat[s : s + 50_000], lng[s : s + 50_000])
+    return n / (time.time() - t0)
+
+
+def _kernel_init():
+    global _KIDX
+    from tzspark.cells import compile_cover
+    from tzspark.zones import make_zones
+
+    _KIDX = compile_cover(make_zones(n_coast=20000))
+
+
+def kernel_scaling():
+    """Process-level scaling of the resolve kernel itself (no Spark): shows
+    the operator's intrinsic scalability separate from the local-mode Python
+    runner's fixed per-task costs."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (8, 32):
+        with mp.Pool(procs, initializer=_kernel_init) as p:
+            rates = p.map(_kernel_worker, [(i, 2_000_000) for i in range(procs)])
+        out[procs] = {"procs": procs, "rows_sec": round(sum(rates), 1)}
+    eff = (out[32]["rows_sec"] / out[8]["rows_sec"]) / 4.0
+    return {"local8": out[8], "local32": out[32], "efficiency": round(eff, 3),
+            "n_rows_per_proc": 2_000_000}
+
+
+def single_run(cpus: int):
+    """Child mode for --scaling: time the full engine (lookup + raster
+    tiling with per-image decode) — enough CPU work per core that fixed
+    job overheads (~1s) don't mask the scaling behavior."""
+    global N_ROWS
+    N_ROWS = SCALING_ROWS
+    from pyspark.sql import functions as F
+
+    from tzspark.engine import (
+        assign_timezones,
+        broadcast_cover,
+        get_spark,
+        tile_rollup,
+        zone_dim_df,
+    )
+    from tzspark.zones import make_zones
+
+    spark = get_spark(app=f"tzspark-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_images(spark)
+    images = spark.read.parquet(images_path())
+    zones = make_zones(n_coast=20000)
+    idx_b, _ = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+
+    def job():
+        assigned = assign_timezones(images, idx_b, dim)
+        materialize(
+            assigned.groupBy("zone_id", "tzid").agg(
+                F.count("*").alias("n"), F.sum(F.col("via_knn").cast("long")).alias("k")
+            )
+        )
+        materialize(tile_rollup(assigned))
+
+    job()  # warm-up (worker spawn, JIT, broadcast distribution)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        job()
+        times.append(time.time() - t0)
+    dt = sorted(times)[1]
+    print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
+                      "rows_sec": round(N_ROWS / dt, 1),
+                      "all_secs": [round(t, 3) for t in times]}))
+    spark.stop()
+
+
+def scaling_main():
+    """N vs 4N parallelism on the same input (north_rule evidence).
+
+    Two jobs: the CPU-bound core lookup join (zero disk I/O — what scales
+    with executors on a real cluster) and the full payload pipeline
+    (parquet scan + decode — on ONE box this shares the memory bus across
+    all threads, which a multi-node cluster does not)."""
+    result = {"metric": "scaling efficiency local[8] -> local[32] (N -> 4N)",
+              "target": 0.8}
+    # intrinsic operator scaling (process-parallel kernel, no Spark runner)
+    result["resolve_kernel"] = kernel_scaling()
+    import shutil
+
+    taskset = shutil.which("taskset")
+    for mode, flag, rows in (
+        ("lookup_compute", "--single-compute-run", COMPUTE_ROWS),
+        ("full_pipeline", "--single-run", SCALING_ROWS),
+    ):
+        out = {}
+        for cpus in (8, 32):
+            cmd = [sys.executable, os.path.abspath(__file__), flag, str(cpus)]
+            if taskset:  # pin so local[8] really means 8 CPUs for ALL procs
+                cmd = [taskset, "-c", f"0-{cpus - 1}"] + cmd
+            r = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+        eff = (out[32]["rows_sec"] / out[8]["rows_sec"]) / 4.0
+        result[mode] = {
+            "n_rows": rows,
+            "local8": out[8],
+            "local32": out[32],
+            "efficiency": round(eff, 3),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_main()
+    elif "--single-compute-run" in sys.argv:
+        single_compute_run(int(sys.argv[sys.argv.index("--single-compute-run") + 1]))
+    elif "--single-run" in sys.argv:
+        single_run(int(sys.argv[sys.argv.index("--single-run") + 1]))
+    else:
+        bench_main()

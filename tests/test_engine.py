@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from tzspark.cells import cell_id
+from tzspark.cells import DEFAULT_MAX_RES, cell_id
 from tzspark.datasets import images_df, synth_coords
 from tzspark.engine import (
     assign_timezones,
@@ -60,7 +60,7 @@ def test_tzid_attached_broadcast(assigned, zones):
 def test_cell_id_column_matches_numpy(assigned):
     pdf = assigned.select("lat", "lng", "cell_id").toPandas()
     want = cell_id(
-        pdf["lat"].to_numpy(np.float32), pdf["lng"].to_numpy(np.float32), 9
+        pdf["lat"].to_numpy(np.float32), pdf["lng"].to_numpy(np.float32), DEFAULT_MAX_RES
     )
     np.testing.assert_array_equal(pdf["cell_id"].to_numpy(np.int64), want)
 

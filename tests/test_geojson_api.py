@@ -1,0 +1,133 @@
+"""GeoJSON ingest quirks + the TimezoneLookup facade (reference API parity)."""
+
+import json
+import zipfile
+
+import numpy as np
+import pytest
+
+from tzspark.api import TimezoneLookup
+from tzspark.geojson import zones_from_geojson, zones_from_geojson_zip
+from tzspark.zones import make_zones
+
+FC = {
+    "type": "FeatureCollection",
+    "features": [
+        {
+            "type": "Feature",
+            "properties": {"tzid": "Test/Poly"},
+            "geometry": {
+                "type": "Polygon",
+                # outer [0,10]^2 + hole [4,6]^2 — GeoJSON order is [lng, lat]
+                "coordinates": [
+                    [[0, 0], [10, 0], [10, 10], [0, 10]],
+                    [[4, 4], [6, 4], [6, 6], [4, 6]],
+                ],
+            },
+        },
+        {
+            "type": "Feature",
+            "properties": {"tzid": "Test/Multi"},
+            "geometry": {
+                "type": "MultiPolygon",
+                "coordinates": [
+                    [
+                        [[20, 0], [30, 0], [30, 10], [20, 10]],
+                        [[24, 4], [26, 4], [26, 6], [24, 6]],
+                    ]
+                ],
+            },
+        },
+        {
+            "type": "Feature",
+            "properties": {"tzid": "Test/Invalid"},
+            "geometry": {
+                "type": "Polygon",
+                # two vertices out of domain -> dropped (AddVertex semantics)
+                "coordinates": [[[40, 0], [50, 0], [50, 200], [999, 10], [40, 10]]],
+            },
+        },
+        {
+            "type": "Feature",
+            "properties": {"tzid": "Test/Point"},
+            "geometry": {"type": "Point", "coordinates": [1, 1]},  # skipped
+        },
+    ],
+}
+
+
+def test_polygon_rings_become_separate_zones():
+    zones = zones_from_geojson(FC, mode="rings")
+    by_tz = {}
+    for z in zones:
+        by_tz.setdefault(z.tzid, []).append(z)
+    # Polygon: outer + hole = 2 rows, same tzid (import.go:141-153 quirk)
+    assert len(by_tz["Test/Poly"]) == 2
+    # MultiPolygon in rings mode: 2 rows too
+    assert len(by_tz["Test/Multi"]) == 2
+    # lng/lat swap: outer ring lat range is [0,10], lng range [0,10]
+    z = by_tz["Test/Poly"][0]
+    assert z.ring_lat.max() == 10 and z.ring_lng.max() == 10
+
+
+def test_multipolygon_reference_mode_concatenates():
+    zones = zones_from_geojson(FC, mode="reference")
+    multi = [z for z in zones if z.tzid == "Test/Multi"]
+    assert len(multi) == 1 and len(multi[0].ring_lat) == 8  # 4+4 concatenated
+    # parity semantics: hole point outside, rim point inside
+    tl = TimezoneLookup([multi[0]])
+    assert tl.search(5.0, 25.0, knn=False).name == ""  # in hole -> out
+    # rim point chosen east of the phantom "bridge" edges (lng 20..24) that
+    # concatenation introduces — SURVEY.md §1.4 documents that rays crossing
+    # a bridge get parity-flipped answers in the reference too
+    assert tl.search(2.0, 27.0, knn=False).name == "Test/Multi"
+
+
+def test_invalid_vertices_dropped():
+    zones = zones_from_geojson(FC)
+    inv = [z for z in zones if z.tzid == "Test/Invalid"][0]
+    assert len(inv.ring_lat) == 3  # 2 of 5 dropped
+    assert (np.abs(inv.ring_lat) <= 90).all() and (np.abs(inv.ring_lng) <= 180).all()
+
+
+def test_zip_ingest(tmp_path):
+    p = tmp_path / "tz.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("combined.JSON", json.dumps(FC))  # case-insensitive suffix
+        zf.writestr("readme.txt", "ignored")
+    zones = zones_from_geojson_zip(str(p))
+    assert len(zones) == 5  # 2 + 2 + 1
+
+
+def test_facade_search_and_roundtrip(tmp_path):
+    zones = make_zones(n_coast=2000)
+    tl = TimezoneLookup(zones, cache_dir=str(tmp_path / "cache"))
+    r = tl.search(3.0, 3.0)
+    assert r.name == "Test/Zone_0_0" and r.elapsed >= 0
+    # float32 truncation happens inside (echoed coords are the f32 values)
+    r2 = tl.search(37.7749, 10.0)
+    assert r2.lat == float(np.float32(37.7749))
+    # invalid -> error (ErrCoordinatesNotValid, timezone.go:62-64)
+    with pytest.raises(ValueError):
+        tl.search(95.0, 0.0)
+    # unmatched without kNN -> empty name ("" result, timezone.go:77)
+    assert tl.search(35.0, 10.0, knn=False).name == ""
+    assert tl.search(35.0, 10.0, knn=True).name != ""
+
+    # save -> load -> identical answers; cover cache hit on reload
+    db = str(tmp_path / "zones.parquet")
+    tl.save(db)
+    tl2 = TimezoneLookup.load(db, cache_dir=str(tmp_path / "cache"))
+    lat = np.linspace(-5, 43, 200, dtype=np.float32)
+    lng = np.linspace(-5, 43, 200, dtype=np.float32)
+    np.testing.assert_array_equal(tl.search_many(lat, lng), tl2.search_many(lat, lng))
+
+
+def test_facade_readme_fixture_points():
+    """The reference README/CLI example coordinates run through search()
+    without error (README.md:31-34, cmd/main.go:21-22) — values resolve
+    against our synthetic zone set, exercising the same code path."""
+    tl = TimezoneLookup(make_zones(n_coast=2000))
+    for lat, lng in [(37.7749, -122.4194), (5.261417, -3.925778), (-31.9523, 115.8613)]:
+        r = tl.search(lat, lng)
+        assert isinstance(r.name, str)

@@ -1,0 +1,167 @@
+"""User-facing facade: the reference's CLI/API surface, Spark-native inside.
+
+Parity map (a timezoneLookup user can switch 1:1):
+    Timezonecache + Load/Save  -> TimezoneLookup.load / .save   (parquet)
+    AddTimezone / ImportZip    -> .from_zones / .from_geojson / .from_geojson_zip
+    BuildRtree (timezone.go:208)-> compiled cell cover, cached by content hash
+    Search(lat, lng)           -> .search(lat, lng) -> Result(name, coords, elapsed)
+    (new, the point of the engine) .assign(images_df) — the distributed join
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from .cells import (
+    DEFAULT_BASE_RES,
+    DEFAULT_MAX_RES,
+    CompiledIndex,
+    Zone,
+    compile_cover,
+    knn_fallback,
+    resolve_points,
+)
+from .geom import F32
+
+
+@dataclass
+class Result:
+    """Search result (timezone.go:81-85): zone name, echoed coordinates,
+    elapsed seconds. name == "" when nothing matched and kNN is disabled."""
+
+    name: str
+    lat: float
+    lng: float
+    elapsed: float
+
+
+class TimezoneLookup:
+    def __init__(self, zones: list, base_res: int = DEFAULT_BASE_RES,
+                 max_res: int = DEFAULT_MAX_RES, cache_dir: str = None):
+        self.zones = sorted(zones, key=lambda z: z.zone_id)
+        self.base_res = base_res
+        self.max_res = max_res
+        self.idx = self._compile(cache_dir)
+        self._tz_by_id = {int(z.zone_id): z.tzid for z in self.zones}
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_zones(cls, zones, **kw):
+        return cls(zones, **kw)
+
+    @classmethod
+    def from_geojson(cls, obj, mode: str = "rings", **kw):
+        from .geojson import zones_from_geojson
+
+        return cls(zones_from_geojson(obj, mode), **kw)
+
+    @classmethod
+    def from_geojson_zip(cls, path: str, mode: str = "rings", **kw):
+        from .geojson import zones_from_geojson_zip
+
+        return cls(zones_from_geojson_zip(path, mode), **kw)
+
+    # -- compiled-cover cache (R9: rebuild-on-load, amortized by caching) ----
+
+    def _content_key(self) -> str:
+        h = hashlib.blake2b(digest_size=16)
+        h.update(f"{self.base_res}:{self.max_res}".encode())
+        for z in self.zones:
+            h.update(np.int64(z.zone_id).tobytes())
+            h.update(z.tzid.encode())
+            h.update(z.ring_lat.tobytes())
+            h.update(z.ring_lng.tobytes())
+        return h.hexdigest()
+
+    def _compile(self, cache_dir) -> CompiledIndex:
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            p = os.path.join(cache_dir, f"cover_{self._content_key()}.pkl")
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    return pickle.load(f)
+            idx = compile_cover(self.zones, self.base_res, self.max_res)
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(idx, f)
+            os.replace(tmp, p)
+            return idx
+        return compile_cover(self.zones, self.base_res, self.max_res)
+
+    # -- save / load (S6/S8: parquet instead of the custom binary format) ---
+
+    def save(self, path: str):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "zone_id": pa.array([int(z.zone_id) for z in self.zones], pa.int32()),
+                "tzid": pa.array([z.tzid for z in self.zones]),
+                "lats": pa.array([z.ring_lat.tolist() for z in self.zones],
+                                 pa.list_(pa.float32())),
+                "lngs": pa.array([z.ring_lng.tolist() for z in self.zones],
+                                 pa.list_(pa.float32())),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    @classmethod
+    def load(cls, path: str, **kw):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        zones = [
+            Zone(int(zid), tz, np.asarray(la, F32), np.asarray(lg, F32))
+            for zid, tz, la, lg in zip(
+                t["zone_id"].to_pylist(), t["tzid"].to_pylist(),
+                t["lats"].to_pylist(), t["lngs"].to_pylist()
+            )
+        ]
+        return cls(zones, **kw)
+
+    # -- queries -------------------------------------------------------------
+
+    def search(self, lat: float, lng: float, knn: bool = True) -> Result:
+        """Single-point lookup, reference Search parity (timezone.go:58-78):
+        float64 in, float32 truncation, validity check, probe, refine.
+        Invalid coordinates raise ValueError (ErrCoordinatesNotValid)."""
+        t0 = time.time()
+        if not (-90.0 <= lat <= 90.0 and -180.0 <= lng <= 180.0):
+            raise ValueError("coordinates are not valid")
+        la = np.array([lat], dtype=F32)
+        lg = np.array([lng], dtype=F32)
+        zid = resolve_points(self.idx, la, lg)
+        if zid[0] == -1 and knn:
+            zid = knn_fallback(self.idx, la, lg)
+        name = self._tz_by_id.get(int(zid[0]), "")
+        return Result(name, float(la[0]), float(lg[0]), time.time() - t0)
+
+    def search_many(self, lat, lng, knn: bool = True) -> np.ndarray:
+        """Vectorized bulk lookup (driver-side, no Spark)."""
+        la = np.asarray(lat, dtype=F32)
+        lg = np.asarray(lng, dtype=F32)
+        zid = resolve_points(self.idx, la, lg)
+        if knn:
+            un = zid == -1
+            if un.any():
+                zid = zid.copy()
+                zid[un] = knn_fallback(self.idx, la[un], lg[un])
+        return zid
+
+    # -- the distributed join -------------------------------------------------
+
+    def assign(self, spark, images_df):
+        """The broadcast PIP join over an image+caption DataFrame."""
+        from .engine import assign_timezones, zone_dim_df
+
+        idx_b = spark.sparkContext.broadcast(self.idx)
+        dim = zone_dim_df(spark, self.zones)
+        return assign_timezones(images_df, idx_b, dim, max_res=self.max_res)

@@ -42,7 +42,7 @@ from .geom import (
 )
 
 DEFAULT_BASE_RES = 4
-DEFAULT_MAX_RES = 9
+DEFAULT_MAX_RES = 10
 
 
 def cell_rowcol(lat, lng, res: int):
@@ -159,8 +159,14 @@ class CompiledIndex:
     b_cells: np.ndarray = None  # sorted int64
     b_off: np.ndarray = None  # (B+1,) int64 CSR into b_zone/b_edge_off
     b_zone: np.ndarray = None  # (C,) int32 candidate zone id
-    b_edge_off: np.ndarray = None  # (C+1,) int64 CSR into edge_idx
-    edge_idx: np.ndarray = None  # flat int64 indices into the edge arrays
+    b_edge_off: np.ndarray = None  # (C+1,) int64 CSR into the b_e* arrays
+    # per-candidate edge subsets MATERIALIZED contiguously (float32): turns
+    # the hot ray-cast loop into sequential streams instead of random gathers
+    # (measured ~2x on uniform points; costs ~16B/edge of duplication)
+    b_ea_lat: np.ndarray = None
+    b_ea_lng: np.ndarray = None
+    b_eb_lat: np.ndarray = None
+    b_eb_lng: np.ndarray = None
     ea_lat: np.ndarray = None  # global flat edge arrays (float32)
     ea_lng: np.ndarray = None
     eb_lat: np.ndarray = None
@@ -312,9 +318,13 @@ def compile_cover(
     idx.b_off = np.array(b_off, dtype=np.int64)
     idx.b_zone = np.array(b_zone, dtype=np.int32)
     idx.b_edge_off = np.array(b_edge_off, dtype=np.int64)
-    idx.edge_idx = (
+    edge_idx = (
         np.concatenate(edge_idx_parts) if edge_idx_parts else np.empty(0, np.int64)
     )
+    idx.b_ea_lat = ea_lat[edge_idx]
+    idx.b_ea_lng = ea_lng[edge_idx]
+    idx.b_eb_lat = eb_lat[edge_idx]
+    idx.b_eb_lng = eb_lng[edge_idx]
 
     n_full = {r: len(v[0]) for r, v in idx.full.items()}
     idx.stats = {
@@ -365,43 +375,70 @@ def resolve_points(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.n
         zmin = idx.zone_ids[zl[off[pos_c[hit_idx]]]]
         out[hit_idx] = np.minimum(out[hit_idx], zmin.astype(np.int64))
 
-    # boundary candidates at max_res
+    # boundary candidates at max_res — fully vectorized, no Python loop over
+    # cells: expand (point x candidate x edge) CSR-style, one float32 ray-cast
+    # pass over all edge rows, parity via add.reduceat per (point, candidate)
     if idx.b_cells is not None and len(idx.b_cells):
         pos = np.searchsorted(idx.b_cells, cell_hi)
         pos_c = np.minimum(pos, len(idx.b_cells) - 1)
         is_b = idx.b_cells[pos_c] == cell_hi
         b_pts = np.flatnonzero(is_b)
         if len(b_pts):
-            order = np.argsort(pos_c[b_pts], kind="stable")
-            b_pts = b_pts[order]
-            cell_pos = pos_c[b_pts]
-            # group points by boundary cell
-            uniq, starts = np.unique(cell_pos, return_index=True)
-            starts = list(starts) + [len(b_pts)]
-            for k, cp in enumerate(uniq):
-                pts = b_pts[starts[k] : starts[k + 1]]
-                pl, pg = lat[pts], lng[pts]
-                for ci in range(idx.b_off[cp], idx.b_off[cp + 1]):
-                    zidx = idx.b_zone[ci]
-                    zid = int(idx.zone_ids[zidx])
-                    # skip candidates that can't improve the running argmin
-                    if (out[pts] <= zid).all():
-                        continue
-                    eix = idx.edge_idx[idx.b_edge_off[ci] : idx.b_edge_off[ci + 1]]
-                    inside = contains_batch_edges(
-                        idx.ea_lat[eix],
-                        idx.ea_lng[eix],
-                        idx.eb_lat[eix],
-                        idx.eb_lng[eix],
-                        pl,
-                        pg,
-                    )
-                    if inside.any():
-                        w = pts[inside]
-                        out[w] = np.minimum(out[w], zid)
+            cp = pos_c[b_pts]
+            n_cand = idx.b_off[cp + 1] - idx.b_off[cp]
+            pair_pt = np.repeat(b_pts, n_cand)  # point index per pair
+            pair_ci = _ragged_ramp(idx.b_off[cp], n_cand)  # candidate index
+            # chunk pairs so the flat edge table stays bounded in memory
+            e_cnt_all = idx.b_edge_off[pair_ci + 1] - idx.b_edge_off[pair_ci]
+            budget = 250_000
+            cum = e_cnt_all.cumsum()
+            cuts = [0]
+            while cuts[-1] < len(pair_ci):
+                base = cum[cuts[-1] - 1] if cuts[-1] else 0
+                nxt = int(np.searchsorted(cum, base + budget, side="right"))
+                cuts.append(max(nxt, cuts[-1] + 1))
+            for s, e in zip(cuts, cuts[1:]):
+                _resolve_pairs(
+                    idx, lat, lng, out, pair_pt[s:e], pair_ci[s:e], e_cnt_all[s:e]
+                )
 
     out[out == np.iinfo(np.int32).max] = -1
     return out.astype(np.int32)
+
+
+def _ragged_ramp(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [starts[i], starts[i]+counts[i]) ranges, vectorized."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = counts.cumsum()
+    r = np.arange(total, dtype=np.int64)
+    within = r - np.repeat(ends - counts, counts)
+    return np.repeat(starts.astype(np.int64), counts) + within
+
+
+def _resolve_pairs(idx, lat, lng, out, pair_pt, pair_ci, e_cnt):
+    """Evaluate PIP for (point, candidate) pairs; fold argmin into ``out``."""
+    e_start = idx.b_edge_off[pair_ci]
+    flat = _ragged_ramp(e_start, e_cnt)  # rows into the materialized edges
+    if len(flat) == 0:
+        return
+    pair_of_row = np.repeat(np.arange(len(pair_ci), dtype=np.int64), e_cnt)
+    pl = lat[pair_pt][pair_of_row]
+    pg = lng[pair_pt][pair_of_row]
+    a_lat, a_lng = idx.b_ea_lat[flat], idx.b_ea_lng[flat]
+    b_lat, b_lng = idx.b_eb_lat[flat], idx.b_eb_lng[flat]
+    straddle = (a_lng > pg) != (b_lng > pg)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        t = ((b_lat - a_lat) * (pg - a_lng)) / (b_lng - a_lng) + a_lat
+    cross = (straddle & (pl < t)).astype(np.int64)
+    row_starts = np.concatenate([[0], e_cnt.cumsum()[:-1]]).astype(np.int64)
+    parity = np.add.reduceat(cross, row_starts) & 1
+    inside = parity.astype(bool)
+    if inside.any():
+        zid = idx.zone_ids[idx.b_zone[pair_ci[inside]]].astype(np.int64)
+        np.minimum.at(out, pair_pt[inside], zid)
 
 
 def knn_fallback(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:

@@ -60,6 +60,16 @@ def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def phash_pixels(pix: np.ndarray) -> int:
+    """Stable 64-bit content hash of a pixel array (the `phash` column)."""
+    return int.from_bytes(
+        hashlib.blake2b(np.ascontiguousarray(pix, np.uint8).tobytes(),
+                        digest_size=8).digest(),
+        "little",
+        signed=True,
+    )
+
+
 def rle_encode(flat: np.ndarray) -> bytes:
     """Byte-level RLE: (count u8, value u8) pairs; runs > 255 are split."""
     flat = np.ascontiguousarray(flat, dtype=np.uint8).ravel()
@@ -110,10 +120,7 @@ def encode_image(i: int, lat: float, lng: float, w: int, h: int, fmt: str) -> tu
     hdr["w"] = w
     hdr["h"] = h
     hdr["fmt"] = FMT_CODES[fmt]
-    phash = int.from_bytes(
-        hashlib.blake2b(pix.tobytes(), digest_size=8).digest(), "little", signed=True
-    )
-    return hdr.tobytes() + payload, phash, pix
+    return hdr.tobytes() + payload, phash_pixels(pix), pix
 
 
 def decode_image(buf: bytes) -> tuple:
@@ -143,6 +150,16 @@ def extract_gps_batch(bufs) -> tuple:
     flagged invalid (quarantine path, timezone.go:62-64 analog).
     """
     n = len(bufs)
+    # fast path: caller already sliced fixed-width headers JVM-side
+    # (engine.gps_header_col) -> one join + one frombuffer, no Python loop
+    try:
+        joined = b"".join(bufs)
+        if len(joined) == n * HEADER_LEN:
+            hdr = np.frombuffer(joined, dtype=_HEADER_DTYPE)
+            ok = hdr["magic"] == MAGIC
+            return hdr["lat"].copy(), hdr["lng"].copy(), ok
+    except TypeError:
+        pass  # Nones present
     prefix = bytearray(n * HEADER_LEN)
     ok = np.ones(n, dtype=bool)
     for k, b in enumerate(bufs):  # cheap memcpy of 17B slices, no parsing

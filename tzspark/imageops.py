@@ -1,0 +1,149 @@
+"""Multimodal image operators over the binary column (training-data path).
+
+Image/audio libraries are not in this container, so the codec is our own
+(imagecodec.py) — the point here is the SPARK-side plumbing: schemas, Arrow
+batch shape, partition-local decode (never shuffle multi-KB payloads), and
+vectorized per-batch numpy. Operators:
+
+* features    — decode -> per-image stats (mean RGB, luma, phash verify)
+* resize_nn   — nearest-neighbor resize, re-encoded into the same container
+* frame_sample— every k-th frame per clip (deterministic window sample)
+* A real JPEG/PNG decode would slot into _decode below; formats outside our
+  container raise NotImplementedError at decode time, routed to a 'failed'
+  flag rather than failing the job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .imagecodec import FMT_CODES, decode_image, encode_image, phash_pixels
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("phash_ok", T.BooleanType(), True),
+        T.StructField("decode_failed", T.BooleanType(), False),
+    ]
+)
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode each image where it lives (mapInPandas, no shuffle) and emit
+    per-image feature stats + phash verification for lossless formats."""
+
+    def _feat(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                rec = {"image_id": r["image_id"], "decode_failed": False}
+                try:
+                    _, _, pix = decode_image(bytes(r["bytes"]))
+                    p = pix.astype(np.float64)
+                    rec.update(
+                        w=pix.shape[1],
+                        h=pix.shape[0],
+                        mean_r=float(p[..., 0].mean()),
+                        mean_g=float(p[..., 1].mean()),
+                        mean_b=float(p[..., 2].mean()),
+                        mean_luma=float(
+                            (0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]).mean()
+                        ),
+                        phash_ok=(
+                            bool(phash_pixels(pix) == int(r["phash"]))
+                            if r["fmt"] in ("raw", "rle")
+                            else None
+                        ),
+                    )
+                except Exception:
+                    rec.update(w=None, h=None, mean_r=None, mean_g=None,
+                               mean_b=None, mean_luma=None, phash_ok=None,
+                               decode_failed=True)
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "fmt", "phash").mapInPandas(
+        _feat, FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("decode_failed", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_nn_pixels(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (no PIL in this container)."""
+    h, w = pix.shape[0], pix.shape[1]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pix[yi][:, xi]
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize every image to (out_w, out_h), re-encoding losslessly (raw)
+    with the original GPS header preserved."""
+
+    def _resize(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    lat, lng, pix = decode_image(bytes(r["bytes"]))
+                    small = resize_nn_pixels(pix, out_w, out_h)
+                    buf = _encode_raw(float(lat), float(lng), small)
+                    rows.append(
+                        {"image_id": r["image_id"], "bytes": buf,
+                         "w": out_w, "h": out_h, "decode_failed": False}
+                    )
+                except Exception:
+                    rows.append(
+                        {"image_id": r["image_id"], "bytes": None,
+                         "w": None, "h": None, "decode_failed": True}
+                    )
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def _encode_raw(lat: float, lng: float, pix: np.ndarray) -> bytes:
+    """Container-encode arbitrary pixels (raw fmt) with a GPS header."""
+    from .imagecodec import _HEADER_DTYPE, MAGIC
+
+    hdr = np.zeros(1, dtype=_HEADER_DTYPE)
+    hdr["magic"] = MAGIC
+    hdr["lat"] = np.float32(lat)
+    hdr["lng"] = np.float32(lng)
+    hdr["w"] = pix.shape[1]
+    hdr["h"] = pix.shape[0]
+    hdr["fmt"] = FMT_CODES["raw"]
+    return hdr.tobytes() + np.ascontiguousarray(pix, dtype=np.uint8).tobytes()
+
+
+def frame_sample(frames: DataFrame, clip_col: str, order_col: str, k: int) -> DataFrame:
+    """Every k-th frame per clip: deterministic window sample — the video
+    analog of the tiling group-by (pure Catalyst, no UDF)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(clip_col).orderBy(order_col)
+    return (
+        frames.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") - 1) % k == 0)
+        .drop("_rn")
+    )
