@@ -1,0 +1,73 @@
+"""Streaming front-end: the batch operators run unchanged on a stream;
+windowed tile counts with watermark; results equal the batch answers."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tzspark.datasets import images_df
+from tzspark.engine import assign_timezones, broadcast_cover, zone_dim_df
+from tzspark.streaming import (
+    read_image_stream,
+    run_available_now,
+    stream_assign,
+    stream_tile_counts,
+)
+from tzspark.zones import make_zones
+
+N = 240
+
+
+@pytest.fixture(scope="module")
+def zones():
+    return make_zones(n_coast=2000)
+
+
+@pytest.fixture(scope="module")
+def image_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("imgstream") / "images")
+    images_df(spark, N, partitions=6).write.parquet(p)
+    return p
+
+
+def test_stream_assign_equals_batch(spark, zones, image_dir, tmp_path):
+    idx_b, _ = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+    stream = read_image_stream(spark, image_dir, per_trigger_files=2)
+    assert stream.isStreaming
+    assigned = stream_assign(stream, idx_b, dim).select(
+        "image_id", "zone_id", "tzid", "via_knn"
+    )
+    q = run_available_now(assigned, str(tmp_path / "ckpt"), "stream_out")
+    out = spark.table("stream_out").toPandas().sort_values("image_id")
+    batch = (
+        assign_timezones(spark.read.parquet(image_dir), idx_b, dim)
+        .select("image_id", "zone_id", "tzid", "via_knn")
+        .toPandas()
+        .sort_values("image_id")
+    )
+    assert len(out) == N
+    np.testing.assert_array_equal(
+        out["zone_id"].to_numpy(), batch["zone_id"].to_numpy()
+    )
+    assert (out["tzid"].to_numpy() == batch["tzid"].to_numpy()).all()
+    assert q.lastProgress is not None
+
+
+def test_stream_windowed_tile_counts(spark, zones, image_dir, tmp_path):
+    idx_b, _ = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+    stream = read_image_stream(spark, image_dir, per_trigger_files=3)
+    # deterministic event time derived from the row index
+    assigned = stream_assign(stream, idx_b, dim).withColumn(
+        "event_ts",
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        )
+        + F.make_interval(mins=F.substring("image_id", 4, 12).cast("long") % 60),
+    )
+    tiles = stream_tile_counts(assigned, window="10 minutes", watermark="5 minutes")
+    run_available_now(tiles, str(tmp_path / "ckpt2"), "tile_out")
+    pdf = spark.table("tile_out").toPandas()
+    assert pdf["n_images"].sum() == N  # nothing dropped (no late data here)
+    assert pdf["window_start"].nunique() == 6  # 60 minutes / 10-minute windows

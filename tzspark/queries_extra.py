@@ -125,9 +125,67 @@ def q27_full_engine_synthetic(spark, sf_dir):
     )
 
 
+def q29_image_features(spark, sf_dir):
+    """Multimodal feature extraction (decode -> stats + phash verify),
+    partition-local, failure-routed. Rows-only: value check in pytest."""
+    from .imageops import image_features
+
+    f = image_features(_images(spark, sf_dir))
+    return f.select(
+        "image_id",
+        "w",
+        "h",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_luma", 4).alias("mean_luma"),
+        "phash_ok",
+        "decode_failed",
+    )
+
+
+def q30_resize(spark, sf_dir):
+    """Nearest-neighbor resize to 8x8 with GPS header preserved; output is
+    the re-extracted GPS of the resized blob (proves the header survives)."""
+    from .engine import extract_gps_udf, gps_header_col
+    from .imageops import resize_images
+
+    r = resize_images(_images(spark, sf_dir), 8, 8)
+    g = r.withColumn("g", extract_gps_udf()(gps_header_col(F.col("bytes"))))
+    return g.select(
+        "image_id", "w", "h",
+        F.col("g.lat").alias("lat"), F.col("g.lng").alias("lng"),
+        F.col("g.gps_ok").alias("gps_ok"),
+    )
+
+
+def q31_stream_assign(spark, sf_dir):
+    """The lookup pipeline executed as a Structured Streaming query
+    (Trigger.AvailableNow, memory sink) — must equal the batch answer.
+    Rows-only here; batch==stream equality is pinned in tests/test_streaming."""
+    import tempfile
+
+    from .engine import broadcast_cover, zone_dim_df
+    from .streaming import read_image_stream, run_available_now, stream_assign
+    from .zones import make_zones
+
+    tmp = tempfile.mkdtemp(prefix="tzq31_")
+    _images(spark, sf_dir).write.mode("overwrite").parquet(f"{tmp}/images")
+    zones = make_zones(n_coast=2000)
+    idx_b, _ = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+    stream = read_image_stream(spark, f"{tmp}/images", per_trigger_files=8)
+    assigned = stream_assign(stream, idx_b, dim).select(
+        "image_id", "zone_id", "tzid", "via_knn"
+    )
+    run_available_now(assigned, f"{tmp}/ckpt", "q31_out")
+    return spark.table("q31_out")
+
+
 EXTRA_QUERIES = {
     "q24_extract_gps": q24_extract_gps,
     "q25_psnr_invariant": q25_psnr_invariant,
     "q26_tile_raster": q26_tile_raster,
     "q27_full_engine_synthetic": q27_full_engine_synthetic,
+    "q29_image_features": q29_image_features,
+    "q30_resize": q30_resize,
+    "q31_stream_assign": q31_stream_assign,
 }

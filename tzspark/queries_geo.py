@@ -432,7 +432,31 @@ SELECT event_id, CAST(zone_id AS INTEGER) AS zone_id FROM d WHERE rn = 1
 """
 
 
+def q28_frame_sample(spark, sf_dir):
+    """Deterministic every-k-th sampling per group (the video frame-sample
+    operator, imageops.frame_sample) demonstrated on events per user."""
+    from .imageops import frame_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    # order by (ts, event_id) for a total order within each user
+    ev = ev.withColumn("ord", F.struct(F.col("ts"), F.col("event_id")))
+    return frame_sample(ev, "user_id", "ord", 3).select("event_id", "user_id")
+
+
+Q28_SQL = """
+WITH r AS (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id FROM r WHERE (rn - 1) % 3 = 0
+"""
+
+
 GEO_QUERIES = {
+    "q28_frame_sample": (q28_frame_sample, Q28_SQL),
     "q01_validity_filter": (q01_validity_filter, Q01_SQL),
     "q02_cell_encode": (q02_cell_encode, Q02_SQL),
     "q03_bbox_join": (q03_bbox_join, Q03_SQL),

@@ -1,0 +1,89 @@
+"""Structured Streaming front-end for the lookup engine.
+
+The reference is strictly batch (no streaming anywhere — SURVEY.md §2.6);
+this is an engine extension: the same broadcast compiled-cover UDFs run
+unchanged inside a streaming query, because the lookup path is stateless
+per-row (no shuffle, no state store). Late data only matters for the
+windowed tile aggregation, handled with a watermark.
+
+Patterns provided:
+* ``stream_assign``       — readStream -> GPS extract -> resolve/kNN -> tzid
+                            (stateless; any sink, exactly-once with
+                            checkpointLocation)
+* ``stream_tile_counts``  — event-time windowed per-tile counts with a
+                            watermark for late rows
+* ``run_available_now``   — drain-everything-then-stop runner (used by tests
+                            and backfills; Trigger.AvailableNow)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datasets import IMAGES_SCHEMA
+
+
+def read_image_stream(spark: SparkSession, path: str, per_trigger_files: int = 4) -> DataFrame:
+    """File-source stream over an image-table directory (parquet)."""
+    return (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", per_trigger_files)
+        .parquet(path)
+    )
+
+
+def stream_assign(images_stream: DataFrame, idx_bcast, zone_dim: DataFrame) -> DataFrame:
+    """The lookup pipeline on a stream — identical operators to the batch
+    path (engine.assign_timezones), reused verbatim: extract -> validity ->
+    cell encode -> broadcast cover probe -> broadcast tzid join."""
+    from .engine import assign_timezones
+
+    return assign_timezones(images_stream, idx_bcast, zone_dim)
+
+
+def stream_tile_counts(
+    assigned_stream: DataFrame,
+    ts_col: str = "event_ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Windowed per-tile counts with late-data handling: rows later than the
+    watermark are dropped from their (closed) window instead of reopening it."""
+    return (
+        assigned_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), "cell_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("via_knn").cast("long")).alias("n_via_knn"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell_id",
+            "n_images",
+            "n_via_knn",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, checkpoint_dir: str, sink_name: str):
+    """Drain all available input once (Trigger.AvailableNow) into an
+    in-memory sink; returns after the stream stops. For backfills and tests;
+    production sinks swap format('memory') for parquet/Kafka with the same
+    checkpointLocation semantics."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append" if df.isStreaming and not _has_agg(df) else "complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan
