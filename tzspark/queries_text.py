@@ -478,7 +478,200 @@ SELECT label, id_a, id_b, cosine FROM p WHERE cosine >= 0.30
 """
 
 
+# --- IVF-style ANN (coarse quantizer + probed buckets) ----------------------
+
+_IVF_K = 8  # centroids = the first K vectors (data-derived, same in both engines)
+_IVF_NPROBE = 2
+
+
+def _d2(a, b):
+    """Squared L2 via dot products — identical arithmetic in both engines:
+    d2 = dot(a,a) - 2*dot(a,b) + dot(b,b), rounded for stable ordering."""
+    return F.round(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b), 6)
+
+
+def q32_ivf_assign(spark, sf_dir):
+    """IVF coarse quantizer: every vector -> nearest of K centroid vectors
+    (squared L2, tie-break min centroid id). The partition step of the
+    ANN scale path: at 10^12 rows this becomes the bucketing key so search
+    probes only nprobe buckets instead of the full corpus."""
+    e = _embs(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    rest = e.where(F.col("vec_id") >= _IVF_K).select("vec_id", "embedding")
+    x = rest.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _d2(F.col("embedding"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    return (
+        x.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "d2")
+    )
+
+
+Q32_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS ce FROM e WHERE vec_id < {_IVF_K}),
+rest AS (SELECT vec_id, v FROM e WHERE vec_id >= {_IVF_K}),
+d AS (
+  SELECT r.vec_id, c.centroid_id,
+         ROUND(list_dot_product(r.v, r.v) - 2 * list_dot_product(r.v, c.ce)
+               + list_dot_product(c.ce, c.ce), 6) AS d2
+  FROM rest r CROSS JOIN cents c
+),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn FROM d)
+SELECT vec_id, centroid_id, d2 FROM rk WHERE rn = 1
+"""
+
+
+def q33_ivf_search(spark, sf_dir):
+    """IVF probed search: probes (last 5 vectors) scan only their nprobe=2
+    nearest centroid buckets, then brute-force cosine top-3 inside them —
+    the full ANN scale path (quantize -> probe -> refine)."""
+    e = _embs(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    rest = e.where(F.col("vec_id") >= _IVF_K).select("vec_id", "embedding")
+    # bucket assignment (same as q32)
+    xa = rest.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _d2(F.col("embedding"), F.col("ce"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    buckets = (
+        xa.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    n = e.agg(F.max("vec_id")).collect()[0][0]
+    probes = e.where(F.col("vec_id") > n - 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    # nprobe nearest centroids per probe
+    xp = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _d2(F.col("pe"), F.col("ce"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy("d2", "centroid_id")
+    probe_buckets = (
+        xp.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select("probe_id", "pe", "centroid_id")
+    )
+    # refine: cosine top-3 within probed buckets only
+    cand = probe_buckets.join(buckets, "centroid_id").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    cos = F.round(
+        _dot(F.col("pe"), F.col("embedding"))
+        / (
+            F.sqrt(_dot(F.col("pe"), F.col("pe")))
+            * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        ),
+        4,
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 3)
+        .select("probe_id", F.col("vec_id").alias("cand_id"), "cosine",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+Q33_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS ce FROM e WHERE vec_id < {_IVF_K}),
+rest AS (SELECT vec_id, v FROM e WHERE vec_id >= {_IVF_K}),
+ba AS (
+  SELECT r.vec_id, r.v, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY
+           ROUND(list_dot_product(r.v, r.v) - 2 * list_dot_product(r.v, c.ce)
+                 + list_dot_product(c.ce, c.ce), 6), c.centroid_id) AS rn
+  FROM rest r CROSS JOIN cents c
+),
+buckets AS (SELECT vec_id, v, centroid_id FROM ba WHERE rn = 1),
+probes AS (SELECT vec_id AS probe_id, v AS pe FROM e
+           WHERE vec_id > (SELECT MAX(vec_id) FROM e) - 5),
+pb AS (
+  SELECT p.probe_id, p.pe, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+           ROUND(list_dot_product(p.pe, p.pe) - 2 * list_dot_product(p.pe, c.ce)
+                 + list_dot_product(c.ce, c.ce), 6), c.centroid_id) AS rn
+  FROM probes p CROSS JOIN cents c
+),
+probe_buckets AS (SELECT probe_id, pe, centroid_id FROM pb WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT q.probe_id, b.vec_id AS cand_id,
+         ROUND(list_dot_product(q.pe, b.v) /
+               (SQRT(list_dot_product(q.pe, q.pe)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine
+  FROM probe_buckets q JOIN buckets b USING (centroid_id)
+  WHERE b.vec_id <> q.probe_id
+),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM cand)
+SELECT probe_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM rk WHERE rnk <= 3
+"""
+
+
+def q34_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: hamming distance <= 3 over the 16-bit
+    signatures (within lang blocks) — the cheap screen before exact Jaccard."""
+    sig = q16_simhash(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    s = sig.join(d, "doc_id")
+    a = s.select(F.col("doc_id").alias("doc_a"), F.col("lang"),
+                 F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("doc_b"), F.col("lang"),
+                 F.col("simhash").alias("hb"))
+    x = a.join(b, "lang").where(F.col("doc_a") < F.col("doc_b"))
+    ham = sum(
+        F.when(
+            F.substring("ha", p, 1) != F.substring("hb", p, 1), 1
+        ).otherwise(0)
+        for p in range(1, 17)
+    )
+    return (
+        x.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select("lang", "doc_a", "doc_b", "hamming")
+    )
+
+
+_Q34_HAM = " + ".join(
+    f"CASE WHEN substring(a.simhash,{p},1) <> substring(b.simhash,{p},1) THEN 1 ELSE 0 END"
+    for p in range(1, 17)
+)
+
+Q34_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, md5(UNNEST(string_split(text, ' '))) AS h FROM documents
+),
+bits AS (
+  SELECT doc_id, p,
+         CASE WHEN SUM(CASE WHEN substring(h, CAST(p AS INTEGER), 1)
+                            IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END) > 0
+              THEN '1' ELSE '0' END AS b
+  FROM toks, UNNEST(generate_series(1, 16)) AS t(p)
+  GROUP BY doc_id, p
+),
+sig AS (
+  SELECT s.doc_id, d.lang, STRING_AGG(s.b, '' ORDER BY s.p) AS simhash
+  FROM bits s JOIN documents d USING (doc_id) GROUP BY s.doc_id, d.lang
+)
+SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({_Q34_HAM} AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {_Q34_HAM} <= 3
+"""
+
+
 TEXT_QUERIES = {
+    "q32_ivf_assign": (q32_ivf_assign, Q32_SQL),
+    "q33_ivf_search": (q33_ivf_search, Q33_SQL),
+    "q34_simhash_near_dup": (q34_simhash_near_dup, Q34_SQL),
     "q13_dedup_exact": (q13_dedup_exact, Q13_SQL),
     "q14_ngram_jaccard": (q14_ngram_jaccard, Q14_SQL),
     "q15_minhash_lsh": (q15_minhash_lsh, Q15_SQL),
