@@ -86,14 +86,12 @@ def q26_tile_raster(spark, sf_dir):
     """Raster<->vector tiling: group decoded images by cell and compute
     stacked-raster stats via applyInPandas (north_star tiling operator)."""
     from .datasets import images_from_events
-    from .engine import assign_timezones, broadcast_cover, tile_rollup, zone_dim_df
+    from .engine import broadcast_cover, tile_rollup_fused
     from .zones import make_zones
 
     zones = make_zones(n_coast=4000)
     idx_b, _ = broadcast_cover(spark, zones)
-    dim = zone_dim_df(spark, zones)
-    assigned = assign_timezones(images_from_events(spark, sf_dir), idx_b, dim)
-    return tile_rollup(assigned).select(
+    return tile_rollup_fused(images_from_events(spark, sf_dir), idx_b).select(
         "cell_id",
         "n_images",
         "n_pixels",

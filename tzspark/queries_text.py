@@ -77,13 +77,24 @@ FROM documents d,
 """
 
 
+_SHINGLE_DF_MAX = 50  # drop "stopword shingles" present in > this many docs
+
+
 def q14_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by Jaccard over distinct 8-char shingles (inverted-
-    index self-join — no quadratic pair blowup)."""
+    index self-join). Shingles with document frequency > _SHINGLE_DF_MAX are
+    dropped from the JOIN side only (classic stopword guard — a shingle in
+    hundreds of docs contributes df^2/2 pairs and ~no discrimination);
+    per-doc set sizes still count every shingle, so Jaccard denominators are
+    exact and only the intersection is a lower bound."""
     sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        F.broadcast(dfreq.where(F.col("df") <= _SHINGLE_DF_MAX).select("sh")), "sh"
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -106,9 +117,14 @@ def q14_ngram_jaccard(spark, sf_dir):
 Q14_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+rare AS (
+  SELECT s.* FROM sh s
+  JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {_SHINGLE_DF_MAX}) r
+    USING (sh)
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b,
