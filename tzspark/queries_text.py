@@ -684,7 +684,77 @@ WHERE {_Q34_HAM} <= 3
 """
 
 
+def q35_corpus_clean(spark, sf_dir):
+    """Composed training-data cleaning pipeline, one query: quality filter
+    -> exact dedup (corpus unioned with itself; keep min doc_id) -> near-dup
+    removal by fingerprint (keep min doc_id per fingerprint) -> per-lang
+    corpus stats. The end-to-end shape of a pretraining data pipeline."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    dup = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang")
+    u = d.unionAll(dup)
+    # quality gate: enough tokens, mostly alphabetic
+    n_tok = F.size(F.split("text", " ")).cast("double")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text")
+    q = u.where((n_tok >= 20) & (alpha_ratio >= 0.7))
+    # exact dedup: keep the smallest doc_id per content hash
+    w1 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d1 = q.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") == 1).drop("rn")
+    # near-dup: keep the smallest doc_id per 16-char-window min-fingerprint
+    pos = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("text") - 15))
+    fp = (
+        d1.select("doc_id", F.explode(pos).alias("i"), "text")
+        .select("doc_id", F.md5(F.expr("substring(text, i, 16)")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fp"))
+    )
+    d1f = d1.join(fp, "doc_id")
+    w2 = Window.partitionBy("fp").orderBy("doc_id")
+    d2 = d1f.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") == 1)
+    return d2.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+Q35_SQL = """
+WITH u AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents
+),
+q AS (
+  SELECT * FROM u
+  WHERE LEN(string_split(text, ' ')) >= 20
+    AND LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / LENGTH(text) >= 0.7
+),
+d1 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q
+  ) WHERE rn = 1
+),
+fp AS (
+  SELECT doc_id, MIN(md5(substring(text, CAST(i AS INTEGER), 16))) AS fp
+  FROM d1, UNNEST(generate_series(1, GREATEST(1, LENGTH(d1.text) - 15))) AS t(i)
+  GROUP BY doc_id
+),
+d2 AS (
+  SELECT * FROM (
+    SELECT d1.*, fp.fp,
+           ROW_NUMBER() OVER (PARTITION BY fp.fp ORDER BY d1.doc_id) AS rn2
+    FROM d1 JOIN fp USING (doc_id)
+  ) WHERE rn2 = 1
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id
+FROM d2 GROUP BY lang
+"""
+
+
 TEXT_QUERIES = {
+    "q35_corpus_clean": (q35_corpus_clean, Q35_SQL),
     "q32_ivf_assign": (q32_ivf_assign, Q32_SQL),
     "q33_ivf_search": (q33_ivf_search, Q33_SQL),
     "q34_simhash_near_dup": (q34_simhash_near_dup, Q34_SQL),
