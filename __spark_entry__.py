@@ -38,8 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
     per-zone rollup."""
     from tzspark.datasets import images_from_events
     from tzspark.engine import assign_timezones, broadcast_cover, zone_dim_df
+    from tzspark.shipping import ensure_shipped
     from tzspark.zones import make_zones
 
+    ensure_shipped(spark)  # --py-files equivalent for pre-created sessions
     sf_dir = "/root/testdata/sf0.001"
     zones = make_zones(n_coast=8000)
     idx_b, _stats = broadcast_cover(spark, zones)
@@ -64,10 +66,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tzspark.queries_geo import GEO_QUERIES
     from tzspark.queries_text import TEXT_QUERIES
 
+    def _shipped(fn):
+        def wrapped(spark, sf_dir):
+            from tzspark.shipping import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        return wrapped
+
     out = {}
     for name, (fn, _sql) in {**GEO_QUERIES, **TEXT_QUERIES}.items():
-        out[name] = fn
-    out.update(EXTRA_QUERIES)
+        out[name] = _shipped(fn)
+    for name, fn in EXTRA_QUERIES.items():
+        out[name] = _shipped(fn)
     return out
 
 
