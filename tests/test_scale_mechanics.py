@@ -1,0 +1,75 @@
+"""Scale mechanics: bucketed co-located joins (no exchange) and
+partition-pruned reads — the storage-layout levers for the 100 TB shape."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tzspark.cells import cell_id_col
+from tzspark.datasets import images_df
+from tzspark.engine import assign_timezones, broadcast_cover, zone_dim_df
+from tzspark.zones import make_zones
+
+N = 400
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def assigned(spark):
+    zones = make_zones(n_coast=2000)
+    idx_b, _ = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+    return assign_timezones(images_df(spark, N, partitions=4), idx_b, dim).drop(
+        "bytes"
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, assigned, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT any Exchange — the
+    co-located join strategy for repeated joins on cell_id at scale
+    (Iceberg: bucket(cell_id) partition transform)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        left = assigned.select("image_id", "cell_id", "zone_id")
+        right = assigned.groupBy("cell_id").agg(F.count("*").alias("tile_n"))
+        for name, df in (("t_left", left), ("t_right", right)):
+            df.write.mode("overwrite").bucketBy(8, "cell_id").sortBy("cell_id").saveAsTable(name)
+        j = spark.table("t_left").join(spark.table("t_right"), "cell_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+        assert j.count() == N
+        # the same join WITHOUT bucketing shuffles both sides
+        left.write.mode("overwrite").saveAsTable("t_left_flat")
+        right.write.mode("overwrite").saveAsTable("t_right_flat")
+        j2 = spark.table("t_left_flat").join(spark.table("t_right_flat"), "cell_id")
+        assert "Exchange" in _plan(j2).replace("BroadcastExchange", "")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("t_left", "t_right", "t_left_flat", "t_right_flat"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_partition_pruned_resume_read(spark, assigned, tmp_path):
+    """Output partitioned by the coarse cell -> a resume/backfill reading one
+    coarse cell scans only that partition's files (the parquet form of
+    Iceberg partition pruning for per-partition resume, SURVEY §4)."""
+    out = str(tmp_path / "assigned_by_coarse")
+    with_coarse = assigned.withColumn(
+        "cell_r4", cell_id_col(F.col("lat"), F.col("lng"), 4)
+    )
+    with_coarse.write.mode("overwrite").partitionBy("cell_r4").parquet(out)
+
+    back = spark.read.parquet(out)
+    one = back.where(F.col("cell_r4") == with_coarse.select("cell_r4").first()[0])
+    plan = _plan(one)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell_r4" in m.group(1), plan  # pruning predicate present
+    # pruned scan reads strictly fewer files than the full table
+    n_parts = with_coarse.select("cell_r4").distinct().count()
+    assert n_parts > 1
+    assert one.count() < N
