@@ -71,3 +71,22 @@ def test_stream_windowed_tile_counts(spark, zones, image_dir, tmp_path):
     pdf = spark.table("tile_out").toPandas()
     assert pdf["n_images"].sum() == N  # nothing dropped (no late data here)
     assert pdf["window_start"].nunique() == 6  # 60 minutes / 10-minute windows
+
+
+def test_stream_stateful_dedup(spark, zones, image_dir, tmp_path):
+    """Duplicate deliveries across triggers are dropped by the state store."""
+    from tzspark.streaming import stream_dedup
+
+    # duplicate the input: same rows written twice as separate files
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(image_dir)
+    base.write.parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+    assert spark.read.parquet(dup_dir).count() == 2 * N
+
+    stream = read_image_stream(spark, dup_dir, per_trigger_files=3)
+    deduped = stream_dedup(stream).select("image_id")
+    run_available_now(deduped, str(tmp_path / "ckpt3"), "dedup_out")
+    out = spark.table("dedup_out").toPandas()
+    assert len(out) == N
+    assert out["image_id"].nunique() == N

@@ -67,6 +67,14 @@ def stream_tile_counts(
     )
 
 
+def stream_dedup(images_stream: DataFrame, key: str = "image_id") -> DataFrame:
+    """Stateful exact dedup across triggers: first occurrence of each key
+    wins, later re-deliveries are dropped via the streaming state store —
+    the streaming form of the q13 exact-dedup operator (at-least-once
+    sources -> exactly-once rows)."""
+    return images_stream.dropDuplicates([key])
+
+
 def run_available_now(df: DataFrame, checkpoint_dir: str, sink_name: str):
     """Drain all available input once (Trigger.AvailableNow) into an
     in-memory sink; returns after the stream stops. For backfills and tests;
