@@ -455,8 +455,42 @@ SELECT event_id, user_id FROM r WHERE (rn - 1) % 3 = 0
 """
 
 
+def q36_pricing_summary(spark, sf_dir):
+    """Relational glue proof (TPC-H Q1 shape): multi-measure grouped
+    aggregation over the biggest driver table with a date predicate —
+    the kind of reporting query the engine's outputs feed into."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    f = li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return (
+        f.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q36_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 GEO_QUERIES = {
     "q28_frame_sample": (q28_frame_sample, Q28_SQL),
+    "q36_pricing_summary": (q36_pricing_summary, Q36_SQL),
     "q01_validity_filter": (q01_validity_filter, Q01_SQL),
     "q02_cell_encode": (q02_cell_encode, Q02_SQL),
     "q03_bbox_join": (q03_bbox_join, Q03_SQL),
