@@ -35,7 +35,6 @@ import numpy as np
 from .geom import (
     F32,
     contains_batch_edges,
-    contains_scalar,
     ring_bbox,
     ring_edges,
     segment_bbox_overlaps_rect,

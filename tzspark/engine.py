@@ -36,7 +36,6 @@ from .cells import (
     resolve_points,
 )
 from .imagecodec import decode_image, extract_gps_batch
-from .zones import make_zones
 
 
 def get_spark(

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .imagecodec import FMT_CODES, decode_image, encode_image, phash_pixels
+from .imagecodec import FMT_CODES, decode_image, phash_pixels
 
 FEATURES_SCHEMA = T.StructType(
     [
