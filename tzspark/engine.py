@@ -173,6 +173,54 @@ ASSIGN_STRUCT = T.StructType(
     ]
 )
 
+LOOKUP_STRUCT = T.StructType(
+    [
+        T.StructField("lat", T.FloatType(), True),
+        T.StructField("lng", T.FloatType(), True),
+        T.StructField("gps_ok", T.BooleanType(), False),
+        T.StructField("zone_id", T.IntegerType(), False),
+        T.StructField("via_knn", T.BooleanType(), False),
+    ]
+)
+
+
+def lookup_udf(idx_bcast):
+    """The WHOLE reference `Search` (timezone.go:58-78) in ONE Arrow crossing:
+    header bytes -> (lat, lng, validity, zone_id, via_knn) per batch.
+
+    Fusing extract + validity + resolve + kNN into a single pandas UDF keeps
+    the pipeline at exactly one JVM<->Python boundary (round-1 plans showed
+    the separate extract UDF evaluated twice: once inlined into the validity
+    Filter, once in the projection — 2 extra Arrow crossings per row).
+
+    Marked nondeterministic ON PURPOSE: it prevents Catalyst from pushing the
+    gps_ok filter through the projection and re-instantiating the UDF
+    expression in the Filter node (the classic evaluate-expensive-UDF-once
+    trick; the function itself is pure)."""
+
+    @F.pandas_udf(LOOKUP_STRUCT)
+    def _lookup(hdr: pd.Series) -> pd.DataFrame:
+        idx: CompiledIndex = idx_bcast.value
+        lat, lng, ok = extract_gps_batch(hdr.tolist())
+        ok = ok & (lat >= -90.0) & (lat <= 90.0) & (lng >= -180.0) & (lng <= 180.0)
+        n = ok.shape[0]
+        zid = np.full(n, -1, dtype=np.int32)
+        via = np.zeros(n, dtype=bool)
+        if ok.any():
+            okw = np.flatnonzero(ok)
+            z = resolve_points(idx, lat[okw], lng[okw])
+            un = z == -1
+            if un.any():
+                z = z.copy()
+                z[un] = knn_fallback(idx, lat[okw[un]], lng[okw[un]])
+            zid[okw] = z
+            via[okw[un]] = True
+        return pd.DataFrame(
+            {"lat": lat, "lng": lng, "gps_ok": ok, "zone_id": zid, "via_knn": via}
+        )
+
+    return _lookup.asNondeterministic()
+
 
 def assign_udf(idx_bcast):
     """pandas_udf: (lat, lng) -> (zone_id, via_knn). One pass: interior-cell
@@ -247,25 +295,26 @@ def assign_timezones(
     + cell_id (pure column arithmetic, no UDF, no shuffle)
     + zone_id, via_knn (broadcast cover probe)
     + tzid (broadcast hash join on the small zone dimension)
+
+    Exactly ONE Python stage: only the 17-byte header prefix crosses the
+    Arrow boundary (JVM-side substring), and extract + validity + resolve +
+    kNN run fused inside lookup_udf — the multi-KB payload column never
+    enters Python on this path (measured ~6x crossing cost when it does).
     """
-    gps = images.withColumn("g", extract_gps_udf()(gps_header_col(F.col("bytes"))))
-    pts = gps.select(
+    looked = images.withColumn(
+        "a", lookup_udf(idx_bcast)(gps_header_col(F.col("bytes")))
+    )
+    pts = looked.select(
         "*",
-        F.col("g.lat").alias("lat"),
-        F.col("g.lng").alias("lng"),
-        (
-            ~F.col("g.gps_ok")
-            | ~F.col("g.lat").between(-90.0, 90.0)
-            | ~F.col("g.lng").between(-180.0, 180.0)
-        ).alias("quarantined"),
-    ).drop("g")
-    ok = pts.where(~F.col("quarantined")).withColumn(
+        F.col("a.lat").alias("lat"),
+        F.col("a.lng").alias("lng"),
+        (~F.col("a.gps_ok")).alias("quarantined"),
+        F.col("a.zone_id").alias("zone_id"),
+        F.col("a.via_knn").alias("via_knn"),
+    ).drop("a")
+    assigned = pts.where(~F.col("quarantined")).withColumn(
         "cell_id", cell_id_col(F.col("lat"), F.col("lng"), max_res)
     )
-    assigned = ok.withColumn("a", assign_udf(idx_bcast)(F.col("lat"), F.col("lng")))
-    assigned = assigned.select(
-        "*", F.col("a.zone_id").alias("zone_id"), F.col("a.via_knn").alias("via_knn")
-    ).drop("a")
     return assigned.join(F.broadcast(zone_dim.select("zone_id", "tzid")), "zone_id", "left")
 
 
