@@ -97,7 +97,7 @@ def headline_queries(spark, images):
 
     return {
         "pipeline_lookup": lambda: run_pipeline(spark, images),
-        "tile_rollup": lambda: tile_rollup_fused(images, idx_b),
+        "tile_rollup": lambda: tile_rollup_fused(images),
         "salted_tile_counts": lambda: salted_tile_counts(_assigned()),
         "resolve_cover_events": lambda: q11_resolve_cover(spark, SF_DIR),
         "knn_fallback_events": lambda: q05_knn_fallback(spark, SF_DIR),
@@ -122,15 +122,20 @@ def bench_main():
 
     # warm-up: spawn python workers, distribute broadcasts, JIT codegen —
     # steady-state timings are what a long-running cluster job sees.
-    # Measured: a fresh JVM needs ~4 executions of the scan+Arrow codepath
-    # before C2 finishes (37s -> 2.5s on the same query); warm thrice.
+    # Measured: a fresh JVM needs ~4 executions of EACH Python-exchange
+    # codepath (ArrowEvalPython vs PythonMapInArrow JIT independently:
+    # 81s -> 8.3s -> 3.7s on the identical mapInArrow query) before C2
+    # settles, so every headline query warms once + pipeline thrice.
+    qs = headline_queries(spark, images)
     for _ in range(3):
         materialize(run_pipeline(spark, images))
+    for name, thunk in qs.items():
+        materialize(thunk())
 
     timings = {}
-    for name, thunk in headline_queries(spark, images).items():
+    for name, thunk in qs.items():
         best = float("inf")
-        for _ in range(2):  # min-of-2: box-level noise swings short runs 2-4x
+        for _ in range(3):  # min-of-3: box-level noise swings short runs 2-4x
             t0 = time.time()
             materialize(thunk())
             best = min(best, time.time() - t0)
@@ -282,7 +287,7 @@ def single_run(cpus: int):
                 F.count("*").alias("n"), F.sum(F.col("via_knn").cast("long")).alias("k")
             )
         )
-        materialize(tile_rollup_fused(images, idx_b))
+        materialize(tile_rollup_fused(images))
 
     job()  # warm-up (worker spawn, JIT, broadcast distribution)
     times = []

@@ -35,7 +35,7 @@ from .cells import (
     knn_fallback,
     resolve_points,
 )
-from .imagecodec import decode_image, extract_gps_batch
+from .imagecodec import extract_gps_batch
 
 
 def get_spark(
@@ -357,6 +357,40 @@ _TILE_PARTIAL_SCHEMA = T.StructType(
 )
 
 
+def _tile_partial_arrays(cells, lat, lng, stats):
+    """Per-cell partial sums from per-image stats (all vectorized)."""
+    ok = stats["ok"]
+    cells = cells[ok]
+    if cells.shape[0] == 0:
+        return None
+    uc, inv = np.unique(cells, return_inverse=True)
+    m = len(uc)
+    return {
+        "cell_id": uc.astype(np.int64),
+        "n_images": np.bincount(inv, minlength=m).astype(np.int64),
+        "n_pixels": np.bincount(
+            inv, weights=stats["n_pixels"][ok].astype(np.float64), minlength=m
+        ).astype(np.int64),
+        "luma_sum": np.bincount(inv, weights=stats["luma_sum"][ok], minlength=m),
+        "lat_sum": np.bincount(
+            inv, weights=lat[ok].astype(np.float64), minlength=m
+        ),
+        "lng_sum": np.bincount(
+            inv, weights=lng[ok].astype(np.float64), minlength=m
+        ),
+    }
+
+
+def _tile_final(partials: DataFrame) -> DataFrame:
+    return partials.groupBy("cell_id").agg(
+        F.sum("n_images").alias("n_images"),
+        F.sum("n_pixels").alias("n_pixels"),
+        (F.sum("luma_sum") / F.sum("n_pixels")).alias("mean_luma"),
+        (F.sum("lat_sum") / F.sum("n_images")).alias("mean_lat"),
+        (F.sum("lng_sum") / F.sum("n_images")).alias("mean_lng"),
+    )
+
+
 def tile_rollup(assigned_with_bytes: DataFrame) -> DataFrame:
     """Raster<->vector tiling: per-tile stats over decoded pixel data.
 
@@ -367,107 +401,92 @@ def tile_rollup(assigned_with_bytes: DataFrame) -> DataFrame:
     with 30% of all images decodes across every input partition instead of
     serializing into one straggler group (the naive
     groupBy(cell).applyInPandas(decode) was measured 15x slower at 1M rows).
-    """
+    Decode + stats are fully vectorized (imagecodec.batch_image_stats): no
+    per-image Python loop."""
+    from .imagecodec import batch_image_stats, pack_blobs
 
     def _partial(batches):
         for pdf in batches:
-            accum = {}
-            cells = pdf["cell_id"].to_numpy()
-            lats = pdf["lat"].to_numpy(dtype=np.float64)
-            lngs = pdf["lng"].to_numpy(dtype=np.float64)
-            for k, buf in enumerate(pdf["bytes"]):
-                _, _, pix = decode_image(bytes(buf))
-                luma = float(
-                    (0.299 * pix[..., 0] + 0.587 * pix[..., 1] + 0.114 * pix[..., 2]).sum()
-                )
-                st = accum.setdefault(int(cells[k]), [0, 0, 0.0, 0.0, 0.0])
-                st[0] += 1
-                st[1] += pix.size // 3
-                st[2] += luma
-                st[3] += lats[k]
-                st[4] += lngs[k]
-            if accum:
-                yield pd.DataFrame(
-                    [
-                        {
-                            "cell_id": c,
-                            "n_images": v[0],
-                            "n_pixels": v[1],
-                            "luma_sum": v[2],
-                            "lat_sum": v[3],
-                            "lng_sum": v[4],
-                        }
-                        for c, v in accum.items()
-                    ]
-                )
+            data, offsets = pack_blobs(pdf["bytes"].tolist())
+            st = batch_image_stats(data, offsets)
+            out = _tile_partial_arrays(
+                pdf["cell_id"].to_numpy(),
+                pdf["lat"].to_numpy(dtype=np.float64),
+                pdf["lng"].to_numpy(dtype=np.float64),
+                st,
+            )
+            if out is not None:
+                yield pd.DataFrame(out)
 
     partials = assigned_with_bytes.select("cell_id", "bytes", "lat", "lng").mapInPandas(
         _partial, _TILE_PARTIAL_SCHEMA
     )
-    return partials.groupBy("cell_id").agg(
-        F.sum("n_images").alias("n_images"),
-        F.sum("n_pixels").alias("n_pixels"),
-        (F.sum("luma_sum") / F.sum("n_pixels")).alias("mean_luma"),
-        (F.sum("lat_sum") / F.sum("n_images")).alias("mean_lat"),
-        (F.sum("lng_sum") / F.sum("n_images")).alias("mean_lng"),
+    return _tile_final(partials)
+
+
+def _arrow_binary_view(col):
+    """Zero-copy (data uint8, offsets int64) view of an Arrow binary array —
+    the Arrow-batch analog of the reference's mmap reinterpret
+    (geo/polygon.go:119-144): no per-row bytes objects are materialized."""
+    import pyarrow as pa
+
+    offset_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    offs = (
+        np.frombuffer(bufs[1], dtype=offset_dtype)[col.offset : col.offset + len(col) + 1]
+        .astype(np.int64)
     )
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    # rebase sliced arrays: never let kernels see the full underlying buffer
+    if len(offs) and (offs[0] != 0 or offs[-1] != data.size):
+        data = data[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+    if col.null_count:
+        import pyarrow.compute as pc
+
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    else:
+        valid = None
+    return data, offs, valid
 
 
-def tile_rollup_fused(images: DataFrame, idx_bcast, max_res: int = DEFAULT_MAX_RES) -> DataFrame:
+def tile_rollup_fused(images: DataFrame, max_res: int = DEFAULT_MAX_RES) -> DataFrame:
     """tile_rollup with the whole per-row chain FUSED into one Python stage:
-    header parse -> cell encode -> cover resolve/kNN -> decode -> per-cell
-    partial sums, in a single mapInPandas over the bytes column.
+    header parse -> validity -> cell encode -> vectorized decode -> per-cell
+    partial sums, in a single mapInArrow over the bytes column.
 
-    Why: a multi-KB payload column that merely RIDES THROUGH an
-    ArrowEvalPython stage still gets buffered/zipped JVM-side per batch —
-    measured 8.3s for 1M x 1.2KB rows through the two lookup UDF stages vs
-    1.4s for a single direct crossing. Rule of thumb encoded here: payload
-    columns cross the JVM<->Python boundary exactly once, in the operator
-    that consumes them."""
+    Why mapInArrow (not mapInPandas): the payload column is consumed directly
+    from the Arrow buffers — one zero-copy np.frombuffer per batch instead of
+    materializing millions of Python bytes objects. Payload columns cross the
+    JVM<->Python boundary exactly once, in the operator that consumes them
+    (a multi-KB column merely riding through an ArrowEvalPython stage was
+    measured ~6x the direct crossing cost)."""
+    import pyarrow as pa
+
     from .cells import cell_id as cell_id_np
+    from .imagecodec import batch_image_stats
 
     def _fused(batches):
-        idx: CompiledIndex = idx_bcast.value
-        for pdf in batches:
-            bufs = pdf["bytes"].tolist()
-            lat, lng, ok = extract_gps_batch(bufs)
-            ok &= (np.abs(lat) <= 90) & (np.abs(lng) <= 180)
-            zid = resolve_points(idx, lat, lng)
-            un = (zid == -1) & ok
-            if un.any():
-                zid[un] = knn_fallback(idx, lat[un], lng[un])
+        for batch in batches:
+            data, offsets, valid = _arrow_binary_view(batch.column(0))
+            st = batch_image_stats(data, offsets)
+            lat, lng = st["lat"], st["lng"]
+            st["ok"] &= (
+                (lat >= -90.0) & (lat <= 90.0) & (lng >= -180.0) & (lng <= 180.0)
+            )
+            if valid is not None:
+                st["ok"] &= valid
             cells = cell_id_np(lat, lng, max_res)
-            accum = {}
-            for k, buf in enumerate(bufs):
-                if not ok[k]:
-                    continue
-                _, _, pix = decode_image(bytes(buf))
-                luma = float(
-                    (0.299 * pix[..., 0] + 0.587 * pix[..., 1] + 0.114 * pix[..., 2]).sum()
-                )
-                st = accum.setdefault(int(cells[k]), [0, 0, 0.0, 0.0, 0.0])
-                st[0] += 1
-                st[1] += pix.size // 3
-                st[2] += luma
-                st[3] += float(lat[k])
-                st[4] += float(lng[k])
-            if accum:
-                yield pd.DataFrame(
-                    [
-                        {"cell_id": c, "n_images": v[0], "n_pixels": v[1],
-                         "luma_sum": v[2], "lat_sum": v[3], "lng_sum": v[4]}
-                        for c, v in accum.items()
-                    ]
-                )
+            out = _tile_partial_arrays(cells, lat, lng, st)
+            if out is not None:
+                yield pa.RecordBatch.from_pydict(out)
 
-    partials = images.select("bytes").mapInPandas(_fused, _TILE_PARTIAL_SCHEMA)
-    return partials.groupBy("cell_id").agg(
-        F.sum("n_images").alias("n_images"),
-        F.sum("n_pixels").alias("n_pixels"),
-        (F.sum("luma_sum") / F.sum("n_pixels")).alias("mean_luma"),
-        (F.sum("lat_sum") / F.sum("n_images")).alias("mean_lat"),
-        (F.sum("lng_sum") / F.sum("n_images")).alias("mean_lng"),
-    )
+    partials = images.select("bytes").mapInArrow(_fused, _TILE_PARTIAL_SCHEMA)
+    return _tile_final(partials)
 
 
 def salted_tile_counts(assigned: DataFrame, n_salt: int = 8) -> DataFrame:

@@ -172,6 +172,145 @@ def extract_gps_batch(bufs) -> tuple:
     return hdr["lat"].copy(), hdr["lng"].copy(), ok
 
 
+def _ragged_ramp(starts: np.ndarray, counts: np.ndarray, step: int = 1) -> np.ndarray:
+    """Concatenate [starts[i], starts[i]+step*counts[i]) strided ranges."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = counts.cumsum()
+    r = np.arange(total, dtype=np.int64)
+    within = r - np.repeat(ends - counts, counts)
+    return np.repeat(starts.astype(np.int64), counts) + step * within
+
+
+_GATHER_BUDGET = 32 * 1024 * 1024  # bytes per grouped gather temp
+
+
+def _channel_sums_grouped(src: np.ndarray, starts: np.ndarray, npx: np.ndarray,
+                          rows: np.ndarray, chsum: np.ndarray):
+    """Per-image RGB channel sums, vectorized by shape group.
+
+    Image i's pixel bytes live at src[starts[i] : starts[i] + 3*npx[i]] in
+    RGB interleave. Images with equal pixel count gather into one (k, 3*v)
+    matrix (single fancy-index memcpy) and reduce as (k, v, 3) -> (k, 3) in
+    one pass — no per-image Python. Accumulates into chsum[rows].
+    """
+    for v in np.unique(npx):
+        m = npx == v
+        s = starts[m]
+        r = rows[m]
+        row_bytes = int(3 * v)
+        if row_bytes == 0 or src.size < row_bytes:
+            continue
+        # zero-copy window view + 1-D row gather: numpy copies k*row_bytes
+        # without materializing a (k, row_bytes) index matrix (~8x cheaper)
+        sw = np.lib.stride_tricks.sliding_window_view(src, row_bytes)
+        step = max(1, _GATHER_BUDGET // row_bytes)
+        for c0 in range(0, s.shape[0], step):
+            g = sw[s[c0 : c0 + step]]
+            chsum[r[c0 : c0 + step]] = g.reshape(-1, int(v), 3).sum(
+                axis=1, dtype=np.int64
+            )
+
+
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def batch_image_stats(data: np.ndarray, offsets: np.ndarray) -> dict:
+    """Fully vectorized per-image stats over a batch of concatenated blobs.
+
+    ``data`` is the raw uint8 byte stream of all blobs back to back (e.g. an
+    Arrow BinaryArray's data buffer, zero-copy); ``offsets`` the (n+1,) blob
+    boundaries. NO per-image Python loop anywhere: headers parse via one
+    strided gather + structured view (the batch analog of the reference's
+    mmap reinterpret, geo/polygon.go:119-144); RLE payloads decode with one
+    global np.repeat; per-image per-channel sums come from residue-class
+    cumulative sums.
+
+    Returns dict of per-image arrays: lat/lng (f32), ok (bool — magic, layout
+    and payload-length checks), w/h/n_pixels (int64), luma_sum (float64,
+    0.299 R + 0.587 G + 0.114 B over all pixels, exact integer channel sums).
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = offsets.shape[0] - 1
+    zero = dict(
+        lat=np.zeros(n, np.float32), lng=np.zeros(n, np.float32),
+        ok=np.zeros(n, bool), w=np.zeros(n, np.int64), h=np.zeros(n, np.int64),
+        n_pixels=np.zeros(n, np.int64), luma_sum=np.zeros(n, np.float64),
+    )
+    if n == 0 or data.size < HEADER_LEN:
+        return zero
+
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    ok = lens >= HEADER_LEN
+    safe = np.where(ok, starts, 0)
+    idx = np.minimum(safe[:, None] + np.arange(HEADER_LEN), data.size - 1)
+    hdr = np.ascontiguousarray(data[idx]).reshape(-1).view(_HEADER_DTYPE)
+    ok &= hdr["magic"] == MAGIC
+
+    w = hdr["w"].astype(np.int64)
+    h = hdr["h"].astype(np.int64)
+    fmt = hdr["fmt"]
+    npx = w * h
+    need = 3 * npx
+    ps = starts + HEADER_LEN
+    pe = offsets[1:]
+    plen = pe - ps
+
+    is_raw = ok & (fmt == FMT_CODES["raw"]) & (plen == need)
+    is_qnt = ok & (fmt == FMT_CODES["qnt"]) & (plen == need)
+    is_rle = ok & (fmt == FMT_CODES["rle"]) & (plen % 2 == 0)
+    ok = is_raw | is_qnt | is_rle
+
+    chsum = np.zeros((n, 3), dtype=np.int64)
+    rows_all = np.arange(n, dtype=np.int64)
+    if is_raw.any():
+        _channel_sums_grouped(data, ps[is_raw], npx[is_raw], rows_all[is_raw], chsum)
+    if is_qnt.any():
+        _channel_sums_grouped(data, ps[is_qnt], npx[is_qnt], rows_all[is_qnt], chsum)
+        # pixel = 4*q + 2 -> channel sum = 4*sum(q) + 2*(w*h)
+        chsum[is_qnt] = 4 * chsum[is_qnt] + 2 * npx[is_qnt][:, None]
+    if is_rle.any():
+        n_pairs = (plen[is_rle] // 2).astype(np.int64)
+        pos = _ragged_ramp(ps[is_rle], n_pairs, step=2)
+        run_len = data[pos].astype(np.int64)
+        run_val = data[pos + 1]
+        pair_off = np.concatenate([[0], np.cumsum(n_pairs)])
+        run_cum = np.concatenate([[0], np.cumsum(run_len)])
+        dec_counts = run_cum[pair_off[1:]] - run_cum[pair_off[:-1]]
+        good = dec_counts == need[is_rle]  # wrong decoded size -> drop
+        decoded = np.repeat(run_val, run_len)  # ALL rle payloads in one shot
+        dstart = np.concatenate([[0], np.cumsum(dec_counts)])
+        rle_rows = np.flatnonzero(is_rle)
+        ok[rle_rows[~good]] = False
+        _channel_sums_grouped(
+            decoded, dstart[:-1][good], npx[is_rle][good], rle_rows[good], chsum
+        )
+
+    luma = (
+        _LUMA[0] * chsum[:, 0] + _LUMA[1] * chsum[:, 1] + _LUMA[2] * chsum[:, 2]
+    ).astype(np.float64)
+    return dict(
+        lat=hdr["lat"].copy(), lng=hdr["lng"].copy(), ok=ok, w=w, h=h,
+        n_pixels=np.where(ok, npx, 0), luma_sum=np.where(ok, luma, 0.0),
+    )
+
+
+def pack_blobs(bufs) -> tuple:
+    """List of bytes-likes (None tolerated) -> (data uint8, offsets int64)
+    for batch_image_stats. One join + one frombuffer, no per-row parsing."""
+    lens = np.fromiter(
+        (0 if b is None else len(b) for b in bufs), dtype=np.int64, count=len(bufs)
+    )
+    joined = b"".join(bytes(b) for b in bufs if b is not None)
+    data = np.frombuffer(joined, dtype=np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    return data, offsets
+
+
 def psnr(orig: np.ndarray, decoded: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB (inf for bit-identical)."""
     err = orig.astype(np.float64) - decoded.astype(np.float64)

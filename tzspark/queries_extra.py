@@ -23,11 +23,13 @@ def _images(spark, sf_dir):
 
 def q24_extract_gps(spark, sf_dir):
     """Vectorized EXIF-style GPS extraction from image bytes (input_hint:
-    batch header parse via np.frombuffer, no per-row Python)."""
-    from .engine import extract_gps_udf
+    batch header parse via np.frombuffer, no per-row Python). Only the
+    17-byte header prefix crosses the Arrow boundary (gps_header_col) —
+    the repo's payload-crosses-once rule."""
+    from .engine import extract_gps_udf, gps_header_col
 
     imgs = _images(spark, sf_dir)
-    g = imgs.withColumn("g", extract_gps_udf()(F.col("bytes")))
+    g = imgs.withColumn("g", extract_gps_udf()(gps_header_col(F.col("bytes"))))
     return g.select(
         "image_id",
         F.col("g.lat").alias("lat"),
@@ -56,13 +58,15 @@ def q25_psnr_invariant(spark, sf_dir):
     def _check(batches):
         for pdf in batches:
             recs = {}
-            for _, r in pdf.iterrows():
-                i = int(r["image_id"][3:])
-                _, _, dec = decode_image(bytes(r["bytes"]))
+            for iid, buf, fmt in zip(
+                pdf["image_id"].tolist(), pdf["bytes"].tolist(), pdf["fmt"].tolist()
+            ):
+                i = int(iid[3:])
+                _, _, dec = decode_image(bytes(buf))
                 orig = synth_pixels(i, dec.shape[1], dec.shape[0])
                 p = psnr(orig, dec)
-                ok = (p == float("inf")) if r["fmt"] in ("raw", "rle") else (p >= 40.0)
-                st = recs.setdefault(r["fmt"], [0, 0, float("inf")])
+                ok = (p == float("inf")) if fmt in ("raw", "rle") else (p >= 40.0)
+                st = recs.setdefault(fmt, [0, 0, float("inf")])
                 st[0] += 1
                 st[1] += 0 if ok else 1
                 st[2] = min(st[2], p if p != float("inf") else 1e9)
@@ -85,12 +89,9 @@ def q26_tile_raster(spark, sf_dir):
     """Raster<->vector tiling: group decoded images by cell and compute
     stacked-raster stats via applyInPandas (north_star tiling operator)."""
     from .datasets import images_from_events
-    from .engine import broadcast_cover, tile_rollup_fused
-    from .zones import make_zones
+    from .engine import tile_rollup_fused
 
-    zones = make_zones(n_coast=4000)
-    idx_b, _ = broadcast_cover(spark, zones)
-    return tile_rollup_fused(images_from_events(spark, sf_dir), idx_b).select(
+    return tile_rollup_fused(images_from_events(spark, sf_dir)).select(
         "cell_id",
         "n_images",
         "n_pixels",
