@@ -86,7 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle per query; non-SQL-expressible ops are omitted
     (image decode/PSNR, raster tiling, full synthetic-zone engine)."""
+    from tzspark.queries_extra import EXTRA_ORACLES
     from tzspark.queries_geo import GEO_QUERIES
     from tzspark.queries_text import TEXT_QUERIES
 
-    return {name: sql for name, (_fn, sql) in {**GEO_QUERIES, **TEXT_QUERIES}.items()}
+    out = {name: sql for name, (_fn, sql) in {**GEO_QUERIES, **TEXT_QUERIES}.items()}
+    out.update(EXTRA_ORACLES)
+    return out

@@ -38,6 +38,89 @@ def q24_extract_gps(spark, sf_dir):
     )
 
 
+# --- DuckDB oracle for q24: reproduce the synthetic coordinate pipeline ------
+#
+# The image blobs are deterministic in events.event_id (datasets.synth_coords:
+# splitmix64-hash streams -> hot/uniform/offshore mixture -> float32 header).
+# The ENTIRE derivation is exact-expressible in ANSI-ish SQL: 64-bit wrapping
+# arithmetic via HUGEINT mod 2^64, xor/shift on UBIGINT, IEEE doubles, and a
+# final CAST AS FLOAT for the float32 header truncation. The Spark side reads
+# the values back out of the binary header; value-hash equality proves the
+# encode -> blob -> vectorized extract path end to end.
+
+_M64 = 1 << 64
+
+
+def _mulmod_sql(x: str, c: int) -> str:
+    """(x * c) mod 2^64 without overflowing HUGEINT (int128): split x into
+    32-bit halves so every intermediate stays < 2^96."""
+    return (
+        f"CAST(((CAST({x} AS HUGEINT) // 4294967296 * {c} % 4294967296) * 4294967296"
+        f" + CAST({x} AS HUGEINT) % 4294967296 * {c}) % {_M64} AS UBIGINT)"
+    )
+
+
+def _sm64_stage_sql(col: str, stage: int) -> str:
+    """One splitmix64 stage (matches datasets._splitmix64 op for op)."""
+    if stage == 0:  # x += 0x9E3779B97F4A7C15 (mod 2^64)
+        return f"CAST((CAST({col} AS HUGEINT) + {0x9E3779B97F4A7C15}) % {_M64} AS UBIGINT)"
+    if stage == 1:
+        return f"xor({col}, {col} >> 30)"
+    if stage == 2:
+        return _mulmod_sql(col, 0xBF58476D1CE4E5B9)
+    if stage == 3:
+        return f"xor({col}, {col} >> 27)"
+    if stage == 4:
+        return _mulmod_sql(col, 0x94D049BB133111EB)
+    return f"xor({col}, {col} >> 31)"
+
+
+def _q24_sql() -> str:
+    streams = {"s": 1, "a": 2, "b": 3, "k": 4}  # sel, u1, u2, hot_k
+    seed_cols = ", ".join(
+        f"CAST((CAST(i AS HUGEINT) * 1315423911 + {st}) % {_M64} AS UBIGINT) AS x_{nm}"
+        for nm, st in streams.items()
+    )
+    stages = []
+    for stage in range(6):
+        cols = ", ".join(
+            f"{_sm64_stage_sql(f'x_{nm}', stage)} AS x_{nm}" for nm in streams
+        )
+        stages.append(f"st{stage} AS (SELECT i, {cols} FROM {'seed' if stage == 0 else f'st{stage-1}'})")
+    u_cols = ", ".join(
+        f"CAST(x_{nm} >> 11 AS DOUBLE) / 9007199254740992.0 AS u_{nm}" for nm in streams
+    )
+    hot = [(3.0, 3.0), (9.5, 15.5), (15.2, 27.3), (21.0, 9.0), (3.5, 33.0)]
+    hot_lat = "CASE hk " + " ".join(f"WHEN {k} THEN {la}" for k, (la, _) in enumerate(hot)) + " END"
+    hot_lng = "CASE hk " + " ".join(f"WHEN {k} THEN {lg}" for k, (_, lg) in enumerate(hot)) + " END"
+    return f"""
+WITH ev AS (SELECT event_id AS i FROM events),
+seed AS (SELECT i, {seed_cols} FROM ev),
+{", ".join(stages)},
+u AS (SELECT i, {u_cols},
+             LEAST(GREATEST(CAST(FLOOR(CAST(x_k >> 11 AS DOUBLE) / 9007199254740992.0 * 5) AS BIGINT), 0), 4) AS hk
+      FROM st5),
+c AS (SELECT i,
+             CASE WHEN u_s < 0.80 THEN {hot_lat} + (u_a - 0.5) * 0.5
+                  WHEN u_s < 0.95 THEN -6.0 + u_a * 48.0
+                  WHEN u_b < 0.5 THEN 34.5 + u_a * 1.0
+                  ELSE 24.5 + u_a * 1.0 END AS lat64,
+             CASE WHEN u_s < 0.80 THEN {hot_lng} + (u_b - 0.5) * 0.5
+                  ELSE -6.0 + u_b * 48.0 END AS lng64
+      FROM u)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(lat64 AS FLOAT) AS lat,
+       CAST(lng64 AS FLOAT) AS lng,
+       TRUE AS gps_ok
+FROM c
+"""
+
+
+Q24_SQL = _q24_sql()
+
+EXTRA_ORACLES = {"q24_extract_gps": Q24_SQL}
+
+
 def q25_psnr_invariant(spark, sf_dir):
     """Per-row payload invariant: decode every image, recompute pixels from
     the row index, report PSNR class. Output = per-fmt violation counts

