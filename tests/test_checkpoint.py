@@ -101,3 +101,27 @@ def test_row_level_resume(spark, zones, tmp_path):
     # idempotent: third run processes nothing
     r3 = run_resumable(spark, imgs, "image_id", out, orig_transform)
     assert r3.count() == N
+
+
+def test_crash_between_commit_and_manifest_recomputes(spark, zones, tmp_path):
+    """_SUCCESS alone must not mark a stage done: a crash after the parquet
+    commit but before _lineage.json lands would otherwise leave a 'done'
+    stage whose manifest() raises forever."""
+    import os
+
+    from tzspark.checkpoint import SnapshotRunner
+
+    r = SnapshotRunner(spark, str(tmp_path / "snap"))
+    calls = []
+
+    def fn():
+        calls.append(1)
+        return spark.range(5).toDF("k")
+
+    r.stage("s1", fn)
+    assert r.is_done("s1") and r.manifest("s1")["n_rows"] == 5
+    # simulate the crash window: manifest vanishes, _SUCCESS stays
+    os.remove(os.path.join(str(tmp_path / "snap"), "stage=s1", "_lineage.json"))
+    assert not r.is_done("s1")
+    df = r.stage("s1", fn)  # must recompute, not trust the torn snapshot
+    assert len(calls) == 2 and df.count() == 5 and r.manifest("s1")["n_rows"] == 5

@@ -75,3 +75,15 @@ def test_phash_deterministic():
 
 def test_synth_pixels_deterministic():
     np.testing.assert_array_equal(synth_pixels(5, 16, 8), synth_pixels(5, 16, 8))
+
+
+def test_extract_gps_batch_misaligned_17n_total():
+    """Variable-length corrupt blobs that happen to total n*HEADER_LEN must
+    NOT take the fixed-width fast path (misaligned frombuffer would parse
+    garbage headers at wrong offsets)."""
+    good, _, _ = encode_image(1, 5.0, 6.0, 8, 8, "raw")
+    b1, b2 = good[:HEADER_LEN - 1], good[:HEADER_LEN + 1]  # total = 2*HEADER_LEN
+    lat, lng, ok = extract_gps_batch([b1, b2])
+    assert not ok[0]  # shorter than the header -> quarantined
+    assert ok[1]  # full valid header prefix -> parsed correctly
+    assert lat[1] == np.float32(5.0) and lng[1] == np.float32(6.0)

@@ -131,3 +131,26 @@ def test_facade_readme_fixture_points():
     for lat, lng in [(37.7749, -122.4194), (5.261417, -3.925778), (-31.9523, 115.8613)]:
         r = tl.search(lat, lng)
         assert isinstance(r.name, str)
+
+
+def test_search_validates_after_f32_truncation():
+    """Reference parity: NewLatLng truncates to float32 BEFORE Valid()
+    (geo/latlng.go:24-31), so 90.0000001 (f32 -> 90.0) is a valid input."""
+    import pytest as _pytest
+
+    from tzspark.api import TimezoneLookup
+    from tzspark.zones import make_zones
+
+    tl = TimezoneLookup(make_zones(n_coast=500))
+    r_edge = tl.search(90.0000001, 10.0)  # would raise under pre-truncation checks
+    assert r_edge.lat == 90.0
+    with _pytest.raises(ValueError):
+        tl.search(90.001, 10.0)  # still out of domain after truncation
+
+
+def test_geojson_keeps_f32_roundable_edge_vertices():
+    """AddVertex truncates then validates: a vertex at 90.0000001 survives."""
+    from tzspark.geojson import _ring_to_arrays
+
+    la, lg = _ring_to_arrays([[10.0, 90.0000001], [10.0, 91.0], [11.0, 89.0]])
+    assert la.tolist() == [90.0, 89.0]  # 91.0 dropped, 90.0000001 kept as 90.0

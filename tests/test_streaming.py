@@ -90,3 +90,26 @@ def test_stream_stateful_dedup(spark, zones, image_dir, tmp_path):
     out = spark.table("dedup_out").toPandas()
     assert len(out) == N
     assert out["image_id"].nunique() == N
+
+
+def test_stream_dedup_within_watermark(spark, image_dir, tmp_path):
+    """Watermarked dedup variant: same exactly-once result on a bounded
+    backfill, with state eviction bounded by the lateness horizon."""
+    from tzspark.streaming import stream_dedup
+
+    dup_dir = str(tmp_path / "dupw")
+    base = spark.read.parquet(image_dir)
+    base.write.parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+
+    stream = read_image_stream(spark, dup_dir, per_trigger_files=3).withColumn(
+        "event_ts",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        + F.make_interval(mins=F.substring("image_id", 4, 12).cast("long") % 60),
+    )
+    deduped = stream_dedup(
+        stream, ts_col="event_ts", watermark="2 hours"
+    ).select("image_id")
+    run_available_now(deduped, str(tmp_path / "ckptw"), "dedup_wm_out")
+    out = spark.table("dedup_wm_out").toPandas()
+    assert len(out) == N and out["image_id"].nunique() == N

@@ -134,10 +134,13 @@ class TimezoneLookup:
         float64 in, float32 truncation, validity check, probe, refine.
         Invalid coordinates raise ValueError (ErrCoordinatesNotValid)."""
         t0 = time.time()
-        if not (-90.0 <= lat <= 90.0 and -180.0 <= lng <= 180.0):
-            raise ValueError("coordinates are not valid")
         la = np.array([lat], dtype=F32)
         lg = np.array([lng], dtype=F32)
+        # validate AFTER float32 truncation, matching the reference exactly:
+        # NewLatLng truncates, then Valid() checks (geo/latlng.go:24-31), so
+        # e.g. lat=90.0000001 (f32 -> 90.0) is a VALID input there.
+        if not (-90.0 <= la[0] <= 90.0 and -180.0 <= lg[0] <= 180.0):
+            raise ValueError("coordinates are not valid")
         zid = resolve_points(self.idx, la, lg)
         if zid[0] == -1 and knn:
             zid = knn_fallback(self.idx, la, lg)

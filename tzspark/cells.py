@@ -173,13 +173,37 @@ class CompiledIndex:
     stats: dict = field(default_factory=dict)
 
 
+_ULPS = 4  # float32 slack on cell bounds (see _inflate)
+
+
+def _inflate(lo: float, hi: float):
+    """Widen an interval outward by a few float32 ulps.
+
+    The reference PIP compares against a float32-ROUNDED ray intersection t
+    (polygon.go:113-116), which can exceed the exact edge max-lat by 1-2
+    ulps; pruning/classification bounds computed in exact arithmetic could
+    therefore drop an edge that the rounded kernel would still count for a
+    point within ulps of a cell boundary. Inflating keeps the kept-edge set
+    and the boundary classification a SUPERSET under f32 rounding — supersets
+    only cost compactness, never correctness."""
+    lo32, hi32 = F32(lo), F32(hi)
+    for _ in range(_ULPS):
+        lo32 = np.nextafter(lo32, F32(-np.inf), dtype=F32)
+        hi32 = np.nextafter(hi32, F32(np.inf), dtype=F32)
+    return float(lo32), float(hi32)
+
+
 def _classify_rect(zone_edges, zbbox, lat0, lng0, lat1, lng1):
     """-> ('out' | 'full' | 'maybe', relevant_edge_mask)."""
+    lat0i, lat1i = _inflate(lat0, lat1)
+    lng0i, lng1i = _inflate(lng0, lng1)
     zmin_lat, zmin_lng, zmax_lat, zmax_lng = zbbox
-    if zmax_lat < lat0 or zmin_lat > lat1 or zmax_lng < lng0 or zmin_lng > lng1:
+    if zmax_lat < lat0i or zmin_lat > lat1i or zmax_lng < lng0i or zmin_lng > lng1i:
         return "out", None
     a_lat, a_lng, b_lat, b_lng = zone_edges
-    overlap = segment_bbox_overlaps_rect(a_lat, a_lng, b_lat, b_lng, lat0, lng0, lat1, lng1)
+    overlap = segment_bbox_overlaps_rect(
+        a_lat, a_lng, b_lat, b_lng, lat0i, lng0i, lat1i, lng1i
+    )
     if not overlap.any():
         # no boundary crosses the cell -> uniformly in or out; sample center
         c_lat = F32((lat0 + lat1) / 2.0)
@@ -198,14 +222,18 @@ def _pip_edge_subset(zone_edges, lat0, lng0, lat1, lng1) -> np.ndarray:
     An edge is irrelevant iff its lng interval misses every p.lng in the cell
     (first conjunct of polygon.go:113-116 always false) or it lies entirely
     south of the cell (intersection lat <= max edge lat < lat0 <= p.lat, so
-    the strict '<' always fails). Conservative non-strict bounds keep a
-    superset; parity over the subset == parity over the full ring.
+    the strict '<' always fails). Conservative non-strict bounds PLUS a few
+    f32 ulps of slack (_inflate — the rounded kernel's t can exceed the exact
+    edge max-lat) keep a superset; parity over the subset == parity over the
+    full ring.
     """
+    lat0i, _ = _inflate(lat0, lat0)
+    lng0i, lng1i = _inflate(lng0, lng1)
     a_lat, a_lng, b_lat, b_lng = zone_edges
     e_min_lng = np.minimum(a_lng, b_lng)
     e_max_lng = np.maximum(a_lng, b_lng)
     e_max_lat = np.maximum(a_lat, b_lat)
-    keep = (e_min_lng <= lng1) & (e_max_lng >= lng0) & (e_max_lat >= lat0)
+    keep = (e_min_lng <= lng1i) & (e_max_lng >= lng0i) & (e_max_lat >= lat0i)
     return np.flatnonzero(keep)
 
 

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 
 def _success(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    """A stage is done only when BOTH the parquet _SUCCESS marker and the
+    lineage manifest exist: _lineage.json is written after the parquet
+    commit, so a crash in between must re-run the stage rather than leave a
+    'done' stage whose manifest() raises forever."""
+    return os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+        os.path.join(path, "_lineage.json")
+    )
 
 
 class SnapshotRunner:

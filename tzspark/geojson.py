@@ -46,10 +46,14 @@ def _ring_to_arrays(ring) -> tuple:
     arr = np.asarray(ring, dtype=np.float64)
     if arr.ndim != 2 or arr.shape[1] < 2:
         return np.empty(0, F32), np.empty(0, F32)
-    lng = arr[:, 0]
-    lat = arr[:, 1]
+    # truncate to float32 FIRST, then validate the truncated values: the
+    # reference's AddVertex builds the f32 LatLng and then checks Valid()
+    # (geo/polygon.go:86-91 + geo/latlng.go:24-31), so a vertex like
+    # lat=90.0000001 (f32 -> 90.0) is KEPT there.
+    lng = arr[:, 0].astype(F32)
+    lat = arr[:, 1].astype(F32)
     m = _valid_mask(lat, lng)
-    return lat[m].astype(F32), lng[m].astype(F32)
+    return lat[m], lng[m]
 
 
 def decode_polygon(coords, mode: str = "rings") -> list:

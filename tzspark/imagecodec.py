@@ -151,11 +151,13 @@ def extract_gps_batch(bufs) -> tuple:
     """
     n = len(bufs)
     # fast path: caller already sliced fixed-width headers JVM-side
-    # (engine.gps_header_col) -> one join + one frombuffer, no Python loop
+    # (engine.gps_header_col) -> one join + one frombuffer, no per-row parse.
+    # Gated on EVERY buffer being exactly HEADER_LEN (a summed-length check
+    # alone would let variable-length corrupt blobs totalling n*HEADER_LEN
+    # parse at misaligned offsets and yield garbage coords flagged valid).
     try:
-        joined = b"".join(bufs)
-        if len(joined) == n * HEADER_LEN:
-            hdr = np.frombuffer(joined, dtype=_HEADER_DTYPE)
+        if all(len(b) == HEADER_LEN for b in bufs):
+            hdr = np.frombuffer(b"".join(bufs), dtype=_HEADER_DTYPE)
             ok = hdr["magic"] == MAGIC
             return hdr["lat"].copy(), hdr["lng"].copy(), ok
     except TypeError:

@@ -67,23 +67,48 @@ def stream_tile_counts(
     )
 
 
-def stream_dedup(images_stream: DataFrame, key: str = "image_id") -> DataFrame:
+def stream_dedup(
+    images_stream: DataFrame,
+    key: str = "image_id",
+    ts_col: str = None,
+    watermark: str = None,
+) -> DataFrame:
     """Stateful exact dedup across triggers: first occurrence of each key
     wins, later re-deliveries are dropped via the streaming state store —
     the streaming form of the q13 exact-dedup operator (at-least-once
-    sources -> exactly-once rows)."""
+    sources -> exactly-once rows).
+
+    Without a watermark the dedup state grows UNBOUNDEDLY (one entry per
+    distinct key forever) — acceptable for bounded backfills only. For a
+    long-running stream pass ts_col + watermark: re-deliveries are expected
+    within the lateness horizon, and dropDuplicatesWithinWatermark evicts
+    state older than it."""
+    if ts_col is not None and watermark is not None:
+        return images_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [key]
+        )
     return images_stream.dropDuplicates([key])
 
 
-def run_available_now(df: DataFrame, checkpoint_dir: str, sink_name: str):
+def run_available_now(
+    df: DataFrame, checkpoint_dir: str, sink_name: str, output_mode: str = None
+):
     """Drain all available input once (Trigger.AvailableNow) into an
     in-memory sink; returns after the stream stops. For backfills and tests;
     production sinks swap format('memory') for parquet/Kafka with the same
-    checkpointLocation semantics."""
+    checkpointLocation semantics.
+
+    output_mode default: append for stateless/dedup plans, complete for
+    aggregations (the memory sink shows every window even when the final
+    watermark has not closed them — a drained backfill wants all results).
+    Pass output_mode='append' explicitly for a watermarked aggregation whose
+    closed-window/late-data-dropping behavior is under test."""
+    if output_mode is None:
+        output_mode = "append" if df.isStreaming and not _has_agg(df) else "complete"
     q = (
         df.writeStream.format("memory")
         .queryName(sink_name)
-        .outputMode("append" if df.isStreaming and not _has_agg(df) else "complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
