@@ -175,3 +175,21 @@ def bbox_clamp_dist2_f64(
     dlat = np.maximum(np.maximum(min_lat[None, :] - pl, pl - max_lat[None, :]), 0.0)
     dlng = np.maximum(np.maximum(min_lng[None, :] - pg, pg - max_lng[None, :]), 0.0)
     return dlat * dlat + dlng * dlng
+
+
+def bbox_clamp_dist2_pairs(
+    p_lat: np.ndarray,
+    p_lng: np.ndarray,
+    min_lat: np.ndarray,
+    min_lng: np.ndarray,
+    max_lat: np.ndarray,
+    max_lng: np.ndarray,
+) -> np.ndarray:
+    """Elementwise form of bbox_clamp_dist2_f64: one (point, zone) pair per
+    row — used by the candidate-pruned kNN where the pair list is ragged.
+    Identical arithmetic, so pruned and dense paths agree bit-for-bit."""
+    pl = np.asarray(p_lat, dtype=F32).astype(np.float64)
+    pg = np.asarray(p_lng, dtype=F32).astype(np.float64)
+    dlat = np.maximum(np.maximum(min_lat - pl, pl - max_lat), 0.0)
+    dlng = np.maximum(np.maximum(min_lng - pg, pg - max_lng), 0.0)
+    return dlat * dlat + dlng * dlng

@@ -147,6 +147,49 @@ def make_zones(n_coast: int = 20000) -> list:
     return zones
 
 
+def make_world_zones(
+    n_tzids: int = 1200, polys_per_tzid: int = 20, verts_per_poly: int = 200
+) -> list:
+    """Reference-operating-point zone set (README.md:9: the real
+    timezone-boundary-builder set is ~1,200 tzids / tens of thousands of
+    polygons / ~50 MB binary db ≈ 6M float32 vertex pairs).
+
+    Deterministic: n_tzids lat/lng cells on a 40-wide grid over
+    lat [-60, 60]; each tzid owns polys_per_tzid sinusoidally-wiggled blob
+    polygons (verts_per_poly vertices each) scattered inside its cell.
+    Defaults give 24,000 polygon rows / 4.8M vertices — the scale the
+    compile/broadcast/lookup stress tests pin (tests/test_world_scale.py).
+    """
+    zones = []
+    zid = 0
+    n_cols = 40
+    n_rows = (n_tzids + n_cols - 1) // n_cols
+    cell_lat = 120.0 / n_rows
+    cell_lng = 360.0 / n_cols
+    t = np.linspace(0.0, 2.0 * np.pi, verts_per_poly, endpoint=False)
+    for k in range(n_tzids):
+        r, c = divmod(k, n_cols)
+        base_lat = -60.0 + r * cell_lat
+        base_lng = -180.0 + c * cell_lng
+        for p in range(polys_per_tzid):
+            h = k * 31 + p * 7 + 1
+            cy = base_lat + cell_lat * (0.15 + 0.7 * ((h * 2654435761) % 1000) / 1000.0)
+            cx = base_lng + cell_lng * (0.15 + 0.7 * ((h * 40503) % 1000) / 1000.0)
+            rad = 0.15 + 0.35 * ((h * 9176) % 1000) / 1000.0
+            wig = 3 + h % 5
+            rr = rad * (1.0 + 0.3 * np.sin(wig * t + h))
+            zones.append(
+                Zone(
+                    zid,
+                    f"World/Zone_{k:04d}",
+                    (cy + rr * np.sin(t)).astype(F32),
+                    (cx + 1.5 * rr * np.cos(t)).astype(F32),
+                )
+            )
+            zid += 1
+    return zones
+
+
 def oracle_resolve(zones: list, lat, lng):
     """Golden resolver, independent of the cell cover: full-ring float32 PIP
     against EVERY zone, argmin(zone_id) over containing zones, -1 if none.
