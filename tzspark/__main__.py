@@ -22,6 +22,12 @@ def main(argv=None):
     ap.add_argument("-build", action="store_true", help="compile a zone db")
     ap.add_argument("-search", action="store_true", help="look up a coordinate")
     ap.add_argument("-zip", dest="zipfile", help="GeoJSON zip to compile (build)")
+    ap.add_argument(
+        "-url",
+        help="download URL for -build (reference parity: fetchAndCacheFile, "
+        "import.go:68-90). NOT available in this offline build — download the "
+        "zip yourself and pass it via -zip.",
+    )
     ap.add_argument("-db", default="zones.parquet", help="zone db path (parquet)")
     ap.add_argument("-lat", type=float, default=-31.9523)  # cmd/main.go:21
     ap.add_argument("-lng", type=float, default=115.8613)  # cmd/main.go:22
@@ -34,8 +40,17 @@ def main(argv=None):
     from .api import TimezoneLookup
 
     if args.build:
+        if args.url:
+            print(
+                "error: the -url download path (reference S1, fetchAndCacheFile "
+                "import.go:68-90) needs network access, which this environment "
+                "does not have; download the GeoJSON zip yourself and pass it "
+                "with -zip <file>",
+                file=sys.stderr,
+            )
+            return 1
         if not args.zipfile:
-            ap.error("-build requires -zip <geojson.zip>")
+            ap.error("-build requires -zip <geojson.zip> (or -url, unavailable offline)")
         tl = TimezoneLookup.from_geojson_zip(args.zipfile)
         tl.save(args.db)
         print(f"compiled {len(tl.zones)} zones -> {args.db}")

@@ -168,3 +168,23 @@ class TimezoneLookup:
         idx_b = spark.sparkContext.broadcast(self.idx)
         dim = zone_dim_df(spark, self.zones)
         return assign_timezones(images_df, idx_b, dim, max_res=self.max_res)
+
+    def assign_bucketed(self, spark, images_df, table_name: str, n_buckets: int = 32):
+        """assign() + persist the result BUCKETED on cell_id (sorted within
+        buckets), so every later join/aggregation on cell_id against another
+        table bucketed the same way is co-located — zero Exchange (proven in
+        tests/test_scale_mechanics.py; the Iceberg analog is a
+        bucket(n, cell_id) partition transform). This is the storage-layout
+        lever for the 10^12-row shape: the expensive lookup runs once, and
+        repeated downstream tile joins never reshuffle the big table.
+
+        Returns the saved table's DataFrame (read back through the catalog,
+        so the bucketing metadata is live for join planning)."""
+        assigned = self.assign(spark, images_df)
+        (
+            assigned.write.mode("overwrite")
+            .bucketBy(n_buckets, "cell_id")
+            .sortBy("cell_id")
+            .saveAsTable(table_name)
+        )
+        return spark.table(table_name)
