@@ -813,7 +813,114 @@ FROM d2 GROUP BY lang
 """
 
 
+# --- near-dup clustering (connected components over candidate pairs) --------
+
+
+def q37_near_dup_clusters(spark, sf_dir):
+    """Connected-components clustering of the MinHash-LSH candidate pairs
+    (q15): iterative min-label propagation to a fixpoint — the standard
+    large-graph CC shape (hash-partitioned join per round, O(log diameter)
+    rounds, lineage truncated per round), then canonical doc = min doc_id in
+    the component. This is the step a dedup pipeline runs AFTER pair
+    generation: each near-dup cluster keeps one representative.
+    """
+    pairs = q15_minhash_lsh(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("canon_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(32):  # log2(diameter) in practice; hard cap as a backstop
+        nb = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(edges["dst"].alias("doc_id"))
+            .agg(F.min("canon_id").alias("nb_min"))
+        )
+        new = (
+            labels.alias("l")
+            .join(nb.alias("n"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("l.canon_id"), F.coalesce(F.col("n.nb_min"), F.col("l.canon_id"))
+                ).alias("canon_id"),
+            )
+            .localCheckpoint()  # truncate the iterative lineage
+        )
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "doc_id")
+            .where(F.col("a.canon_id") != F.col("b.canon_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("canon_id").agg(F.count("*").alias("cluster_n"))
+    return labels.join(sizes, "canon_id").select("doc_id", "canon_id", "cluster_n")
+
+
+Q37_SQL = f"""
+WITH RECURSIVE pairs AS ({Q15_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canon_id FROM reach GROUP BY src
+),
+sz AS (SELECT canon_id, COUNT(*) AS cluster_n FROM lab GROUP BY canon_id)
+SELECT l.doc_id, l.canon_id, s.cluster_n
+FROM lab l JOIN sz s USING (canon_id)
+"""
+
+
+# --- per-label centroid + outlier distance ----------------------------------
+
+
+def q38_centroid_outliers(spark, sf_dir):
+    """Per-label embedding centroid + squared distance of every vector to
+    its label centroid — the data-quality screen that flags mislabeled /
+    outlier examples before training. Pure relational: posexplode ->
+    per-(label, dim) mean -> rejoin -> per-vector sum of squares."""
+    e = _embs(spark, sf_dir)
+    pos = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = pos.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 4).alias("dist2"))
+    )
+
+
+Q38_SQL = """
+WITH pos AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+),
+cent AS (SELECT label, pos, AVG(v) AS c FROM pos GROUP BY label, pos)
+SELECT p.vec_id, p.label, ROUND(SUM((p.v - c.c) * (p.v - c.c)), 4) AS dist2
+FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+GROUP BY p.vec_id, p.label
+"""
+
+
 TEXT_QUERIES = {
+    "q37_near_dup_clusters": (q37_near_dup_clusters, Q37_SQL),
+    "q38_centroid_outliers": (q38_centroid_outliers, Q38_SQL),
     "q35_corpus_clean": (q35_corpus_clean, Q35_SQL),
     "q32_ivf_assign": (q32_ivf_assign, Q32_SQL),
     "q33_ivf_search": (q33_ivf_search, Q33_SQL),
