@@ -86,17 +86,41 @@ def headline_queries(spark, images):
     )
     from tzspark.queries_geo import q05_knn_fallback, q11_resolve_cover
     from tzspark.queries_text import q14_ngram_jaccard, q21_ann_bruteforce
-    from tzspark.zones import make_zones
+    from tzspark.zones import make_world_zones, make_zones
 
     zones = make_zones(n_coast=20000)
     idx_b, _ = broadcast_cover(spark, zones)
     dim = zone_dim_df(spark, zones)
 
+    # reference-operating-point zone set (1,200 tzids / 24k polygons / 4.8M
+    # vertices — README.md:9 scale); compile is cached by content hash so the
+    # bench times the LOOKUP, not the one-off build (compile time is pinned
+    # separately in tests/test_world_scale.py and BASELINE.md)
+    from tzspark.api import TimezoneLookup
+
+    tl_world = TimezoneLookup(
+        make_world_zones(), cache_dir=os.path.join(CACHE, "covers")
+    )
+    idx_bw = spark.sparkContext.broadcast(tl_world.idx)
+    dim_w = zone_dim_df(spark, tl_world.zones)
+
     def _assigned():
         return assign_timezones(images, idx_b, dim)
 
+    def _world_lookup():
+        from pyspark.sql import functions as F
+
+        return assign_timezones(images, idx_bw, dim_w).groupBy("tzid").agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("via_knn").cast("long")).alias("n_via_knn"),
+        )
+
+    from tzspark.engine import lookup_tile_onepass
+
     return {
         "pipeline_lookup": lambda: run_pipeline(spark, images),
+        "lookup_world_zones": _world_lookup,
+        "onepass_lookup_tile": lambda: lookup_tile_onepass(images, idx_b),
         "tile_rollup": lambda: tile_rollup_fused(images),
         "salted_tile_counts": lambda: salted_tile_counts(_assigned()),
         "resolve_cover_events": lambda: q11_resolve_cover(spark, SF_DIR),
@@ -160,8 +184,11 @@ def bench_main():
     spark.stop()
 
 
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "4000000"))
-COMPUTE_ROWS = int(os.environ.get("SPARK_GRAFT_COMPUTE_ROWS", "32000000"))
+# sized so the local[8] run takes ~1 min: this box swings 2-4x on sub-30s
+# jobs, which would swamp an 8-vs-32 ratio (the fused/vectorized round-2
+# kernels made the old sizes finish too fast to measure honestly)
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
+COMPUTE_ROWS = int(os.environ.get("SPARK_GRAFT_COMPUTE_ROWS", "96000000"))
 
 
 def compute_job_df(spark, n_rows: int, n_parts: int = 256):
@@ -202,15 +229,57 @@ def single_compute_run(cpus: int):
     # fixed 500k-row tasks at every parallelism level: constant per-task
     # overhead fraction, so the ratio measures scaling, not amortization
     df = compute_job_df(spark, COMPUTE_ROWS, n_parts=max(COMPUTE_ROWS // 500_000, cpus))
-    materialize(df)  # warm-up
+    for _ in range(3):  # C2 JIT needs several passes over the Arrow codepath
+        materialize(df)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         materialize(df)
         times.append(time.time() - t0)
-    dt = sorted(times)[1]  # median of 3 — JIT/GC noise dominates short runs
+    dt = sorted(times)[2]  # median of 5 — JIT/GC noise dominates short runs
     print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
                       "rows_sec": round(COMPUTE_ROWS / dt, 1),
+                      "all_secs": [round(t, 3) for t in times]}))
+    spark.stop()
+
+
+def single_noop_run(cpus: int):
+    """Child mode for --scaling: the IO/framework ceiling control — the same
+    parquet scan + JVM->Python Arrow transfer of the payload column as the
+    full pipeline, with a NO-OP Python stage (touches nothing). Whatever
+    efficiency this measures is the best any payload-consuming job can do on
+    this box; the pipeline's efficiency should be judged against it."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from tzspark.engine import get_spark
+
+    spark = get_spark(app=f"tzspark-noop-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    global N_ROWS
+    N_ROWS = SCALING_ROWS
+    ensure_images(spark)
+    images = spark.read.parquet(images_path())
+    schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def _noop(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_pydict({"n": [len(b.column(0))]})
+
+    def job():
+        materialize(images.select("bytes").mapInArrow(_noop, schema).groupBy().sum("n"))
+
+    for _ in range(3):
+        job()
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        job()
+        times.append(time.time() - t0)
+    dt = sorted(times)[2]
+    print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
+                      "rows_sec": round(N_ROWS / dt, 1),
                       "all_secs": [round(t, 3) for t in times]}))
     spark.stop()
 
@@ -255,20 +324,16 @@ def kernel_scaling():
 
 
 def single_run(cpus: int):
-    """Child mode for --scaling: time the full engine (lookup + raster
-    tiling with per-image decode) — enough CPU work per core that fixed
-    job overheads (~1s) don't mask the scaling behavior."""
+    """Child mode for --scaling: time the full engine — per-zone lookup
+    rollup AND per-tile raster stats over the payload table, computed by the
+    one-pass fused operator (engine.lookup_tile_onepass): one parquet scan,
+    one JVM->Python payload transfer, one shuffle of tiny partials. The
+    outputs equal the old two-job form (pytest-pinned); the single pass
+    halves the shared scan/transfer traffic that binds a one-box N-vs-4N
+    comparison."""
     global N_ROWS
     N_ROWS = SCALING_ROWS
-    from pyspark.sql import functions as F
-
-    from tzspark.engine import (
-        assign_timezones,
-        broadcast_cover,
-        get_spark,
-        tile_rollup_fused,
-        zone_dim_df,
-    )
+    from tzspark.engine import broadcast_cover, get_spark, lookup_tile_onepass
     from tzspark.zones import make_zones
 
     spark = get_spark(app=f"tzspark-scale-{cpus}", master=f"local[{cpus}]",
@@ -278,24 +343,18 @@ def single_run(cpus: int):
     images = spark.read.parquet(images_path())
     zones = make_zones(n_coast=20000)
     idx_b, _ = broadcast_cover(spark, zones)
-    dim = zone_dim_df(spark, zones)
 
     def job():
-        assigned = assign_timezones(images, idx_b, dim)
-        materialize(
-            assigned.groupBy("zone_id", "tzid").agg(
-                F.count("*").alias("n"), F.sum(F.col("via_knn").cast("long")).alias("k")
-            )
-        )
-        materialize(tile_rollup_fused(images))
+        materialize(lookup_tile_onepass(images, idx_b))
 
-    job()  # warm-up (worker spawn, JIT, broadcast distribution)
+    for _ in range(3):  # worker spawn + C2 JIT per Python-exchange codepath
+        job()
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         job()
         times.append(time.time() - t0)
-    dt = sorted(times)[1]
+    dt = sorted(times)[2]
     print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
                       "rows_sec": round(N_ROWS / dt, 1),
                       "all_secs": [round(t, 3) for t in times]}))
@@ -319,6 +378,7 @@ def scaling_main():
     for mode, flag, rows in (
         ("lookup_compute", "--single-compute-run", COMPUTE_ROWS),
         ("full_pipeline", "--single-run", SCALING_ROWS),
+        ("transfer_ceiling_noop", "--single-noop-run", SCALING_ROWS),
     ):
         out = {}
         for cpus in (8, 32):
@@ -342,6 +402,8 @@ if __name__ == "__main__":
         scaling_main()
     elif "--single-compute-run" in sys.argv:
         single_compute_run(int(sys.argv[sys.argv.index("--single-compute-run") + 1]))
+    elif "--single-noop-run" in sys.argv:
+        single_noop_run(int(sys.argv[sys.argv.index("--single-noop-run") + 1]))
     elif "--single-run" in sys.argv:
         single_run(int(sys.argv[sys.argv.index("--single-run") + 1]))
     else:

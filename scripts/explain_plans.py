@@ -70,7 +70,7 @@ def main():
         failures.append(f"lookup: {n_exchange} Exchanges (expected <= 1)")
     # the fused lookup must cross JVM<->Python exactly once (round-1 regression:
     # the extract UDF was inlined twice, 3 ArrowEvalPython stages total)
-    n_python = len(re.findall(r"\(\d+\) (?:ArrowEvalPython|MapInPandas|PythonMapInArrow)", p1))
+    n_python = len(re.findall(r"\(\d+\) (?:ArrowEvalPython|MapInPandas|MapInArrow)", p1))
     if n_python != 1:
         failures.append(f"lookup: {n_python} Python stages (expected exactly 1)")
 
@@ -95,6 +95,24 @@ def main():
     # 4. tile rollup shuffles only partial sums
     p4 = plan_of(tile_rollup(assign_timezones(images, idx_b, dim)))
     sections.append(("tile rollup (two-phase partial aggregation)", p4))
+
+    # 5. fused one-pass lookup+tile: ONE PythonMapInArrow, one Exchange,
+    # bytes-only ReadSchema (payload crosses once, partials shuffle)
+    from tzspark.engine import lookup_tile_onepass
+
+    p5 = plan_of(lookup_tile_onepass(images, idx_b))
+    sections.append(("one-pass lookup + tile (mapInArrow fusion)", p5))
+    if "MapInArrow" not in p5:
+        failures.append("onepass: MapInArrow stage missing")
+    n_py5 = len(re.findall(r"\(\d+\) (?:ArrowEvalPython|MapInPandas|MapInArrow)", p5))
+    if n_py5 != 1:
+        failures.append(f"onepass: {n_py5} Python stages (expected exactly 1)")
+    n_ex5 = len(re.findall(r"\(\d+\) Exchange\b", p5))
+    if n_ex5 > 1:
+        failures.append(f"onepass: {n_ex5} Exchanges (expected <= 1)")
+    m5 = re.search(r"ReadSchema: struct<([^>]*)>", p5)
+    if m5 and m5.group(1) != "bytes:binary":
+        failures.append(f"onepass: scan reads more than bytes: {m5.group(1)}")
     # the exchange must sit ABOVE the python map stage (partials), i.e. the
     # MapInPandas node appears before the first Exchange in the tree dump
     map_pos = p4.find("MapInPandas")

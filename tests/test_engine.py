@@ -123,3 +123,44 @@ def test_caption_and_payload_survive_join(assigned):
     pdf = assigned.select("image_id", "caption").toPandas()
     idx = pdf["image_id"].str[3:].astype(np.int64)
     assert (pdf["caption"] == "cap " + idx.astype(str)).all()
+
+
+def test_onepass_equals_two_jobs(spark, zones):
+    """lookup_tile_onepass (single scan + single Arrow crossing) must produce
+    exactly the per-zone rollup of assign_timezones and the per-tile stats of
+    tile_rollup_fused."""
+    from tzspark.engine import (
+        lookup_tile_onepass,
+        tile_rollup_fused,
+        tile_rollup_view,
+        zone_rollup_view,
+    )
+
+    idx_b, _ = broadcast_cover(spark, zones)
+    dim = zone_dim_df(spark, zones)
+    imgs = images_df(spark, 500, partitions=4)
+    op = lookup_tile_onepass(imgs, idx_b).cache()
+
+    zr = zone_rollup_view(op, dim).toPandas().sort_values("zone_id").reset_index(drop=True)
+    want_zr = (
+        assign_timezones(imgs, idx_b, dim)
+        .groupBy("zone_id", "tzid")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("via_knn").cast("long")).alias("n_via_knn"),
+        )
+        .toPandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    assert zr[["zone_id", "n_images", "n_via_knn", "tzid"]].equals(
+        want_zr[["zone_id", "n_images", "n_via_knn", "tzid"]]
+    )
+
+    tr = tile_rollup_view(op).toPandas().sort_values("cell_id").reset_index(drop=True)
+    want_tr = tile_rollup_fused(imgs).toPandas().sort_values("cell_id").reset_index(drop=True)
+    assert tr["cell_id"].equals(want_tr["cell_id"])
+    assert tr["n_images"].equals(want_tr["n_images"])
+    assert tr["n_pixels"].equals(want_tr["n_pixels"])
+    np.testing.assert_allclose(tr["mean_luma"], want_tr["mean_luma"], rtol=1e-12)
+    np.testing.assert_allclose(tr["mean_lat"], want_tr["mean_lat"], rtol=1e-12)

@@ -64,7 +64,12 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+        # keep Arrow batch BUFFERS under G1's humongous threshold: with
+        # multi-KB payload columns, 20k-row batches make ~24 MB on-heap
+        # allocations (> half a G1 region) whose churn caused 3-5x GC stall
+        # outliers; 4000 rows (~5 MB) removed them (tile 8M rows: 20-56 s
+        # noisy -> 9-12 s stable) with no measurable cost on thin columns
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "4000",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     }
     conf.update(extra_conf or {})
@@ -487,6 +492,126 @@ def tile_rollup_fused(images: DataFrame, max_res: int = DEFAULT_MAX_RES) -> Data
 
     partials = images.select("bytes").mapInArrow(_fused, _TILE_PARTIAL_SCHEMA)
     return _tile_final(partials)
+
+
+_ONEPASS_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.IntegerType(), False),  # 0 = zone, 1 = tile
+        T.StructField("key", T.LongType(), False),  # zone_id | cell_id
+        T.StructField("n", T.LongType(), False),
+        T.StructField("n_knn", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("luma_sum", T.DoubleType(), False),
+        T.StructField("lat_sum", T.DoubleType(), False),
+        T.StructField("lng_sum", T.DoubleType(), False),
+    ]
+)
+
+
+def lookup_tile_onepass(
+    images: DataFrame, idx_bcast, max_res: int = DEFAULT_MAX_RES
+) -> DataFrame:
+    """Per-zone rollup AND per-tile raster stats from ONE scan + ONE Arrow
+    crossing: header parse -> validity -> resolve/kNN -> vectorized decode ->
+    both partial aggregates, fused in a single mapInArrow.
+
+    Why: a pipeline that needs both outputs otherwise reads the multi-KB
+    payload column twice (two jobs = two parquet scans + two JVM->Python
+    transfers of the same ~1.2 KB/row). At 100 TB that is 100 TB of extra
+    IO; on the 32-thread box the shared scan/transfer path is exactly what
+    stops scaling, so halving it moves the N->4N efficiency, not just the
+    wall time. Output rows are tagged `grp` (0 = per-zone, 1 = per-tile);
+    split with zone_rollup_view / tile_rollup_view after ONE materialization.
+    """
+    import pyarrow as pa
+
+    from .cells import cell_id as cell_id_np
+    from .imagecodec import batch_image_stats
+
+    def _fused(batches):
+        idx: CompiledIndex = idx_bcast.value
+        for batch in batches:
+            data, offsets, valid = _arrow_binary_view(batch.column(0))
+            st = batch_image_stats(data, offsets)
+            lat, lng = st["lat"], st["lng"]
+            ok = st["ok"] & (
+                (lat >= -90.0) & (lat <= 90.0) & (lng >= -180.0) & (lng <= 180.0)
+            )
+            if valid is not None:
+                ok &= valid
+            st["ok"] = ok
+            okw = np.flatnonzero(ok)
+            if okw.shape[0] == 0:
+                continue
+            zid = resolve_points(idx, lat[okw], lng[okw])
+            un = zid == -1
+            if un.any():
+                zid[un] = knn_fallback(idx, lat[okw[un]], lng[okw[un]])
+            uz, inv = np.unique(zid, return_inverse=True)
+            m = len(uz)
+            zn = np.bincount(inv, minlength=m).astype(np.int64)
+            zk = np.bincount(inv, weights=un.astype(np.float64), minlength=m).astype(np.int64)
+            zeros = np.zeros(m)
+            out = {
+                "grp": np.zeros(m, np.int32),
+                "key": uz.astype(np.int64),
+                "n": zn,
+                "n_knn": zk,
+                "n_pixels": zeros.astype(np.int64),
+                "luma_sum": zeros,
+                "lat_sum": zeros,
+                "lng_sum": zeros,
+            }
+            tiles = _tile_partial_arrays(cell_id_np(lat, lng, max_res), lat, lng, st)
+            if tiles is not None:
+                t_m = len(tiles["cell_id"])
+                out = {
+                    "grp": np.concatenate([out["grp"], np.ones(t_m, np.int32)]),
+                    "key": np.concatenate([out["key"], tiles["cell_id"]]),
+                    "n": np.concatenate([out["n"], tiles["n_images"]]),
+                    "n_knn": np.concatenate([out["n_knn"], np.zeros(t_m, np.int64)]),
+                    "n_pixels": np.concatenate([out["n_pixels"], tiles["n_pixels"]]),
+                    "luma_sum": np.concatenate([out["luma_sum"], tiles["luma_sum"]]),
+                    "lat_sum": np.concatenate([out["lat_sum"], tiles["lat_sum"]]),
+                    "lng_sum": np.concatenate([out["lng_sum"], tiles["lng_sum"]]),
+                }
+            yield pa.RecordBatch.from_pydict(out)
+
+    partials = images.select("bytes").mapInArrow(_fused, _ONEPASS_SCHEMA)
+    return partials.groupBy("grp", "key").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_knn").alias("n_knn"),
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("luma_sum").alias("luma_sum"),
+        F.sum("lat_sum").alias("lat_sum"),
+        F.sum("lng_sum").alias("lng_sum"),
+    )
+
+
+def zone_rollup_view(onepass: DataFrame, zone_dim: DataFrame) -> DataFrame:
+    """grp=0 rows of lookup_tile_onepass -> (zone_id, tzid, n_images, n_via_knn)."""
+    return (
+        onepass.where(F.col("grp") == 0)
+        .select(
+            F.col("key").cast("int").alias("zone_id"),
+            F.col("n").alias("n_images"),
+            F.col("n_knn").alias("n_via_knn"),
+        )
+        .join(F.broadcast(zone_dim.select("zone_id", "tzid")), "zone_id", "left")
+    )
+
+
+def tile_rollup_view(onepass: DataFrame) -> DataFrame:
+    """grp=1 rows of lookup_tile_onepass -> the tile_rollup output schema."""
+    t = onepass.where(F.col("grp") == 1)
+    return t.select(
+        F.col("key").alias("cell_id"),
+        F.col("n").alias("n_images"),
+        "n_pixels",
+        (F.col("luma_sum") / F.col("n_pixels")).alias("mean_luma"),
+        (F.col("lat_sum") / F.col("n")).alias("mean_lat"),
+        (F.col("lng_sum") / F.col("n")).alias("mean_lng"),
+    )
 
 
 def salted_tile_counts(assigned: DataFrame, n_salt: int = 8) -> DataFrame:

@@ -186,7 +186,7 @@ def _ragged_ramp(starts: np.ndarray, counts: np.ndarray, step: int = 1) -> np.nd
     return np.repeat(starts.astype(np.int64), counts) + step * within
 
 
-_GATHER_BUDGET = 32 * 1024 * 1024  # bytes per grouped gather temp
+_GATHER_BUDGET = 4 * 1024 * 1024  # bytes per grouped gather temp
 
 
 def _channel_sums_grouped(src: np.ndarray, starts: np.ndarray, npx: np.ndarray,
