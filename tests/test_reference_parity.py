@@ -104,3 +104,26 @@ def test_engine_deviation_is_the_documented_one(zones, idx):
             assert as_written_search(zones, float(lat[k]), float(lng[k]), order) == first.tzid
         else:
             assert got[k] == -1
+
+
+def test_facade_as_written_protocol_option(zones):
+    """search(protocol='as_written') must equal the line-faithful emulation
+    under the documented ascending-zone_id candidate order, everywhere."""
+    from tzspark.api import TimezoneLookup
+
+    tl = TimezoneLookup(zones)
+    ordered = sorted(zones, key=lambda z: z.zone_id)
+    rng = np.random.default_rng(9)
+    lat = rng.uniform(-8, 44, 300)
+    lng = rng.uniform(-8, 44, 300)
+    diverged = 0
+    for k in range(300):
+        want = as_written_search(zones, float(lat[k]), float(lng[k]), ordered)
+        got = tl.search(float(lat[k]), float(lng[k]), protocol="as_written")
+        assert got.name == want, (lat[k], lng[k])
+        argmin = tl.search(float(lat[k]), float(lng[k]), knn=False)
+        if argmin.name != want:
+            diverged += 1
+    # the two protocols genuinely differ on some points (abort-on-miss can
+    # return '' where a later candidate contains) — the documented deviation
+    assert diverged > 0

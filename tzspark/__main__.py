@@ -35,6 +35,11 @@ def main(argv=None):
                     help="use the built-in synthetic zone set instead of -db")
     ap.add_argument("-no-knn", action="store_true",
                     help="disable the nearest-zone fallback")
+    ap.add_argument("-protocol", choices=("argmin", "as_written"), default="argmin",
+                    help="match semantics: deterministic argmin(zone_id) "
+                    "(engine default) or the reference's as-written "
+                    "abort-on-miss callback protocol (timezone.go:66-76), "
+                    "candidates in ascending zone_id order")
     args = ap.parse_args(argv)
 
     from .api import TimezoneLookup
@@ -64,7 +69,8 @@ def main(argv=None):
         else:
             tl = TimezoneLookup.load(args.db)
         try:
-            r = tl.search(args.lat, args.lng, knn=not args.no_knn)
+            r = tl.search(args.lat, args.lng, knn=not args.no_knn,
+                          protocol=args.protocol)
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

@@ -129,10 +129,21 @@ class TimezoneLookup:
 
     # -- queries -------------------------------------------------------------
 
-    def search(self, lat: float, lng: float, knn: bool = True) -> Result:
+    def search(
+        self, lat: float, lng: float, knn: bool = True, protocol: str = "argmin"
+    ) -> Result:
         """Single-point lookup, reference Search parity (timezone.go:58-78):
         float64 in, float32 truncation, validity check, probe, refine.
-        Invalid coordinates raise ValueError (ErrCoordinatesNotValid)."""
+        Invalid coordinates raise ValueError (ErrCoordinatesNotValid).
+
+        protocol='argmin' (default): deterministic min-zone_id over
+        containing zones, kNN fallback if enabled — the engine semantics.
+        protocol='as_written': the reference's exact callback protocol
+        (timezone.go:66-76 + geo/latlng.go:65-67) — walk MBR candidates, a
+        containing candidate sets the name and CONTINUES, a non-containing
+        candidate ABORTS the scan; '' if nothing was set, no kNN. The
+        reference's R-tree traversal order is unspecified; here candidates
+        walk in ascending zone_id (documented deterministic order)."""
         t0 = time.time()
         la = np.array([lat], dtype=F32)
         lg = np.array([lng], dtype=F32)
@@ -141,11 +152,30 @@ class TimezoneLookup:
         # e.g. lat=90.0000001 (f32 -> 90.0) is a VALID input there.
         if not (-90.0 <= la[0] <= 90.0 and -180.0 <= lg[0] <= 180.0):
             raise ValueError("coordinates are not valid")
+        if protocol == "as_written":
+            name = self._search_as_written(la[0], lg[0])
+            return Result(name, float(la[0]), float(lg[0]), time.time() - t0)
         zid = resolve_points(self.idx, la, lg)
         if zid[0] == -1 and knn:
             zid = knn_fallback(self.idx, la, lg)
         name = self._tz_by_id.get(int(zid[0]), "")
         return Result(name, float(la[0]), float(lg[0]), time.time() - t0)
+
+    def _search_as_written(self, la, lg) -> str:
+        from .geom import contains_scalar
+
+        bb = self.idx.zone_bbox  # rows sorted by zone_id (compile_cover)
+        cand = np.flatnonzero(
+            (bb[:, 0] <= la) & (la <= bb[:, 2]) & (bb[:, 1] <= lg) & (lg <= bb[:, 3])
+        )
+        name = ""
+        for zidx in cand:
+            z = self.zones[int(zidx)]  # self.zones sorted by zone_id too
+            if contains_scalar(z.ring_lat, z.ring_lng, la, lg):
+                name = z.tzid  # set and continue (timezone.go:69-74)
+            else:
+                break  # abort on first miss (geo/latlng.go:65-67)
+        return name
 
     def search_many(self, lat, lng, knn: bool = True) -> np.ndarray:
         """Vectorized bulk lookup (driver-side, no Spark)."""
