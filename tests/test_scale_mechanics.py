@@ -96,3 +96,17 @@ def test_facade_assign_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for tname in ("t_assign_b", "t_tiles_b"):
             spark.sql(f"DROP TABLE IF EXISTS {tname}")
+
+
+def test_spark_distributed_compile_identical(spark):
+    """compile_cover_spark (per-zone cover fanned out as a Spark job) must
+    produce a byte-identical index to the driver-side compile."""
+    import pickle
+
+    from tzspark.cells import compile_cover, compile_cover_spark
+    from tzspark.zones import make_zones
+
+    zones = make_zones(n_coast=1500)
+    a = compile_cover(zones)
+    b = compile_cover_spark(spark, zones)
+    assert pickle.dumps(a) == pickle.dumps(b)

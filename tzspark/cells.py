@@ -444,6 +444,7 @@ def compile_cover(
     base_res: int = DEFAULT_BASE_RES,
     max_res: int = DEFAULT_MAX_RES,
     workers: int = None,
+    _covers: list = None,
 ) -> CompiledIndex:
     """Quadtree-subdivide each zone into full/boundary cells and merge.
 
@@ -484,7 +485,9 @@ def compile_cover(
         workers = (
             min(os.cpu_count() or 1, 16) if len(live) >= _PARALLEL_COMPILE_MIN else 1
         )
-    if workers > 1:
+    if _covers is not None:  # precomputed per-live-zone covers (Spark path)
+        covers = _covers
+    elif workers > 1:
         import multiprocessing as mp
 
         tasks = [
@@ -577,6 +580,38 @@ def compile_cover(
         else 0.0,
     }
     return idx
+
+
+def compile_cover_spark(
+    spark,
+    zones: list,
+    base_res: int = DEFAULT_BASE_RES,
+    max_res: int = DEFAULT_MAX_RES,
+) -> CompiledIndex:
+    """Distribute the per-zone cover compile over Spark executors.
+
+    The per-zone step (_zone_cover_task) is embarrassingly parallel and
+    picklable, so zone sets too large for a driver process pool fan out as a
+    Spark job (the 100 TB-shape variant: the zone TABLE can itself be big
+    while each zone's cover result is tiny). Results are collected keyed by
+    zone index and merged in zone order — byte-identical to compile_cover on
+    the same input (pinned by tests/test_world_scale.py).
+    """
+    zones_sorted = sorted(zones, key=lambda z: z.zone_id)
+    live = [zidx for zidx, z in enumerate(zones_sorted) if len(z.ring_lat) >= 3]
+    tasks = [
+        (zidx, zones_sorted[zidx].ring_lat, zones_sorted[zidx].ring_lng)
+        for zidx in live
+    ]
+    n_slices = max(1, min(len(tasks), spark.sparkContext.defaultParallelism * 4))
+    pairs = (
+        spark.sparkContext.parallelize(tasks, numSlices=n_slices)
+        .map(lambda t: (t[0], _zone_cover_task((t[1], t[2], base_res, max_res))))
+        .collect()
+    )
+    by_zidx = dict(pairs)
+    covers = [by_zidx[zidx] for zidx in live]
+    return compile_cover(zones_sorted, base_res, max_res, _covers=covers)
 
 
 def resolve_points(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
