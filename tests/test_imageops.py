@@ -70,3 +70,62 @@ def test_frame_sample(spark, imgs):
     # deterministic: frames 0,3,6,9 of each clip
     ids = sorted(int(x[3:]) % 10 for x in pdf[pdf["clip_id"] == 0]["image_id"])
     assert ids == [0, 3, 6, 9]
+
+
+def test_image_features_equals_decode_loop(spark, imgs):
+    """The vectorized (round-3) feature path must reproduce what a per-image
+    decode loop computes: exact means from integer channel sums, phash verify
+    over the same pixel bytes."""
+    from tzspark.imagecodec import phash_pixels
+
+    f = image_features(imgs).toPandas().set_index("image_id").sort_index()
+    rows = imgs.select("image_id", "bytes", "fmt", "phash").toPandas()
+    for _, r in rows.iterrows():
+        _, _, pix = decode_image(bytes(r["bytes"]))
+        p = pix.astype(np.float64)
+        got = f.loc[r["image_id"]]
+        assert got["w"] == pix.shape[1] and got["h"] == pix.shape[0]
+        assert got["mean_r"] == p[..., 0].mean()
+        assert got["mean_g"] == p[..., 1].mean()
+        assert got["mean_b"] == p[..., 2].mean()
+        want_luma = (
+            0.299 * p[..., 0].sum() + 0.587 * p[..., 1].sum() + 0.114 * p[..., 2].sum()
+        ) / p[..., 0].size
+        assert abs(got["mean_luma"] - want_luma) < 1e-9
+        if r["fmt"] in ("raw", "rle"):
+            assert bool(got["phash_ok"]) == (phash_pixels(pix) == int(r["phash"]))
+        else:
+            assert got["phash_ok"] is None or np.isnan(got["phash_ok"])
+
+
+def test_resize_images_equals_decode_loop(spark, imgs):
+    """The grouped-gather resize must emit byte-identical blobs to the
+    per-image decode->resize->re-encode reference."""
+    from tzspark.imageops import _encode_raw
+
+    r = resize_images(imgs, 8, 8).toPandas().set_index("image_id").sort_index()
+    rows = imgs.select("image_id", "bytes").toPandas()
+    for _, row in rows.iterrows():
+        lat, lng, pix = decode_image(bytes(row["bytes"]))
+        want = _encode_raw(float(lat), float(lng), resize_nn_pixels(pix, 8, 8))
+        assert bytes(r.loc[row["image_id"]]["bytes"]) == want
+
+
+def test_resize_images_mixed_failures(spark):
+    """Failed rows are null-routed while good rows in the same batch still
+    resize correctly (exercises the validity-bitmap construction)."""
+    from tzspark.imagecodec import encode_image
+
+    good, _, _ = encode_image(5, 1.5, 2.5, 6, 4, "rle")
+    rows = [
+        ("bad1", bytearray(b"XXXXgarbage_not_magic"), 0, 0, "raw", "c", 0),
+        ("good", bytearray(good), 6, 4, "rle", "c", 0),
+        ("bad2", bytearray(b"TZ"), 0, 0, "raw", "c", 0),
+    ]
+    df = spark.createDataFrame(rows, IMAGES_SCHEMA)
+    r = resize_images(df, 8, 8).toPandas().set_index("image_id")
+    assert bool(r.loc["bad1"]["decode_failed"]) and r.loc["bad1"]["bytes"] is None
+    assert bool(r.loc["bad2"]["decode_failed"])
+    assert not bool(r.loc["good"]["decode_failed"])
+    lat, lng, pix = decode_image(bytes(r.loc["good"]["bytes"]))
+    assert pix.shape == (8, 8, 3) and abs(lat - 1.5) < 1e-6

@@ -71,8 +71,13 @@ class TimezoneLookup:
     # -- compiled-cover cache (R9: rebuild-on-load, amortized by caching) ----
 
     def _content_key(self) -> str:
+        from .cells import INDEX_FORMAT_VERSION
+
         h = hashlib.blake2b(digest_size=16)
-        h.update(f"{self.base_res}:{self.max_res}".encode())
+        # format version first: cached pickles from older CompiledIndex
+        # layouts (e.g. pre-kNN-table) must never load into newer code —
+        # they'd deserialize fine and silently fall back to slow paths.
+        h.update(f"v{INDEX_FORMAT_VERSION}:{self.base_res}:{self.max_res}".encode())
         for z in self.zones:
             h.update(np.int64(z.zone_id).tobytes())
             h.update(z.tzid.encode())

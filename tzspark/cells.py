@@ -45,6 +45,12 @@ DEFAULT_MAX_RES = 10
 DEFAULT_KNN_RES = 6  # coarse grid for the kNN candidate table (64x64 cells)
 _MATERIALIZE_MAX = 3_000_000  # duplicated edge rows above this -> index form
 
+# Mixed into the cover-cache content key (api._content_key): bump whenever
+# CompiledIndex gains/changes compiled structures so stale cached pickles
+# (e.g. pre-kNN-table, which would silently fall back to the brute path)
+# can never be loaded against newer code.
+INDEX_FORMAT_VERSION = 3
+
 
 def cell_rowcol(lat, lng, res: int):
     """(row, col) at resolution ``res``; float64 math from float32 coords."""
@@ -439,6 +445,22 @@ def _zone_cover_task(args):
 _PARALLEL_COMPILE_MIN = 512  # zones; below this fork overhead dominates
 
 
+def _active_spark():
+    """The live SparkSession, if any (None when pyspark absent / no session).
+    Used to decide how to parallelize the cover compile: forking a process
+    pool under a live py4j/JVM driver risks rare fork-with-threads child
+    deadlocks, so with a session alive the compile distributes through Spark
+    itself (compile_cover_spark — no fork at all, and the shape that scales
+    past one driver anyway). forkserver is NOT the answer: it re-imports the
+    caller's __main__ per child, which re-executes unguarded scripts."""
+    try:
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    except Exception:
+        return None
+
+
 def compile_cover(
     zones: list,
     base_res: int = DEFAULT_BASE_RES,
@@ -479,7 +501,8 @@ def compile_cover(
 
     live = [zidx for zidx, z in enumerate(zones) if len(z.ring_lat) >= 3]
     # degenerate (<3 vertex) rings never match (polygon.go:101-103) — skipped
-    if workers is None:
+    auto = workers is None
+    if auto:
         import os
 
         workers = (
@@ -487,6 +510,11 @@ def compile_cover(
         )
     if _covers is not None:  # precomputed per-live-zone covers (Spark path)
         covers = _covers
+    elif workers > 1 and auto and (spark := _active_spark()) is not None:
+        # live JVM driver: distribute through Spark instead of forking a
+        # pool under py4j threads (see _active_spark). Identical result —
+        # compile_cover_spark re-enters here with _covers precomputed.
+        return compile_cover_spark(spark, zones, base_res, max_res)
     elif workers > 1:
         import multiprocessing as mp
 
@@ -494,7 +522,11 @@ def compile_cover(
             (zones[zidx].ring_lat, zones[zidx].ring_lng, base_res, max_res)
             for zidx in live
         ]
-        with mp.Pool(workers) as pool:
+        # no JVM alive on this path (or the caller explicitly asked for a
+        # pool): plain fork is safe and avoids forkserver's __main__
+        # re-import footgun
+        ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods() else "spawn")
+        with ctx.Pool(workers) as pool:
             covers = pool.map(_zone_cover_task, tasks, chunksize=max(1, len(tasks) // (workers * 8)))
     else:
         covers = [
@@ -566,6 +598,12 @@ def compile_cover(
 
     idx.knn_res = DEFAULT_KNN_RES
     idx.knn_off, idx.knn_zidx = _compile_knn_table(zone_bbox, DEFAULT_KNN_RES)
+    # the pruned path's reduceat assumes every coarse cell keeps >=1 candidate
+    # (true by construction: keep includes each cell's d_max argmin zone);
+    # make the invariant explicit so a compile regression fails loudly here
+    # instead of silently mis-resolving in knn_fallback
+    if len(zones):
+        assert (np.diff(idx.knn_off) > 0).all(), "empty kNN candidate cell"
 
     n_full = {r: len(v[0]) for r, v in idx.full.items()}
     idx.stats = {
@@ -722,6 +760,28 @@ def _resolve_pairs(idx, lat, lng, out, pair_pt, pair_ci, e_cnt):
 _KNN_CELL_BUDGET = 4_000_000  # (points x zones) float64 cells per chunk
 
 
+def _knn_brute(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+    """Chunked brute-force nearest-MBR argmin (exact for ANY input coords)."""
+    from .geom import bbox_clamp_dist2_f64
+
+    n = len(lat)
+    zmin_lat = idx.zone_bbox[:, 0].astype(np.float64)
+    zmin_lng = idx.zone_bbox[:, 1].astype(np.float64)
+    zmax_lat = idx.zone_bbox[:, 2].astype(np.float64)
+    zmax_lng = idx.zone_bbox[:, 3].astype(np.float64)
+    out = np.empty(n, dtype=np.int32)
+    step = max(1, _KNN_CELL_BUDGET // max(zmin_lat.shape[0], 1))
+    for s in range(0, n, step):
+        sl = slice(s, min(s + step, n))
+        d2 = bbox_clamp_dist2_f64(
+            lat[sl], lng[sl], zmin_lat, zmin_lng, zmax_lat, zmax_lng
+        )
+        # argmin with zone_id tie-break: zones are sorted by zone_id, and
+        # np.argmin returns the first minimum — the tie-break we want.
+        out[sl] = idx.zone_ids[np.argmin(d2, axis=1)]
+    return out
+
+
 def knn_fallback(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
     """Nearest zone for unmatched points: argmin over zones of the squared
     clamp distance to the zone MBR (float64 from float32 coords), tie-break
@@ -735,7 +795,7 @@ def knn_fallback(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.nda
     reference scale (Z ~ 25k polygon rows) would be multi-GB per Arrow batch.
     Falls back to the chunked brute force for indexes without a table.
     """
-    from .geom import bbox_clamp_dist2_f64, bbox_clamp_dist2_pairs
+    from .geom import bbox_clamp_dist2_pairs
 
     n = len(lat)
     if n == 0:
@@ -743,20 +803,20 @@ def knn_fallback(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.nda
     lat = np.asarray(lat, dtype=F32)
     lng = np.asarray(lng, dtype=F32)
     if idx.knn_off is None:  # legacy/brute path, chunked
-        zmin_lat = idx.zone_bbox[:, 0].astype(np.float64)
-        zmin_lng = idx.zone_bbox[:, 1].astype(np.float64)
-        zmax_lat = idx.zone_bbox[:, 2].astype(np.float64)
-        zmax_lng = idx.zone_bbox[:, 3].astype(np.float64)
+        return _knn_brute(idx, lat, lng)
+
+    # The pruned table's exactness proof only covers the valid coordinate
+    # domain: cell_rowcol CLAMPS out-of-range coords into border cells whose
+    # candidate list was computed for points INSIDE the cell, so e.g.
+    # lat=200 could miss its true nearest zone. Unvalidated callers
+    # (search_many, direct knn_fallback) route such points to the exact
+    # brute-force argmin instead.
+    in_dom = (lat >= -90.0) & (lat <= 90.0) & (lng >= -180.0) & (lng <= 180.0)
+    if not in_dom.all():
         out = np.empty(n, dtype=np.int32)
-        step = max(1, _KNN_CELL_BUDGET // max(zmin_lat.shape[0], 1))
-        for s in range(0, n, step):
-            sl = slice(s, min(s + step, n))
-            d2 = bbox_clamp_dist2_f64(
-                lat[sl], lng[sl], zmin_lat, zmin_lng, zmax_lat, zmax_lng
-            )
-            # argmin with zone_id tie-break: zones are sorted by zone_id, and
-            # np.argmin returns the first minimum — the tie-break we want.
-            out[sl] = idx.zone_ids[np.argmin(d2, axis=1)]
+        ins, outs = np.flatnonzero(in_dom), np.flatnonzero(~in_dom)
+        out[ins] = knn_fallback(idx, lat[ins], lng[ins])
+        out[outs] = _knn_brute(idx, lat[outs], lng[outs])
         return out
 
     cells = cell_id(lat, lng, idx.knn_res)

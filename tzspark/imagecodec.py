@@ -219,7 +219,9 @@ def _channel_sums_grouped(src: np.ndarray, starts: np.ndarray, npx: np.ndarray,
 _LUMA = (0.299, 0.587, 0.114)
 
 
-def batch_image_stats(data: np.ndarray, offsets: np.ndarray) -> dict:
+def batch_image_stats(
+    data: np.ndarray, offsets: np.ndarray, keep_decoded: bool = False
+) -> dict:
     """Fully vectorized per-image stats over a batch of concatenated blobs.
 
     ``data`` is the raw uint8 byte stream of all blobs back to back (e.g. an
@@ -232,7 +234,14 @@ def batch_image_stats(data: np.ndarray, offsets: np.ndarray) -> dict:
 
     Returns dict of per-image arrays: lat/lng (f32), ok (bool — magic, layout
     and payload-length checks), w/h/n_pixels (int64), luma_sum (float64,
-    0.299 R + 0.587 G + 0.114 B over all pixels, exact integer channel sums).
+    0.299 R + 0.587 G + 0.114 B over all pixels, exact integer channel sums),
+    ch_sum ((n,3) int64 exact per-channel sums — already computed for luma,
+    exposed so downstream mean_r/g/b never re-decode), fmt_code (uint8).
+
+    keep_decoded=True additionally returns ``rle`` = (decoded_stream uint8,
+    dstart (n_rle+1,) slice offsets, rle_rows global row indices, good mask)
+    so payload consumers (phash verify, resize) reuse the single global
+    np.repeat decode instead of re-decoding per image.
     """
     data = np.asarray(data, dtype=np.uint8)
     offsets = np.asarray(offsets, dtype=np.int64)
@@ -241,7 +250,13 @@ def batch_image_stats(data: np.ndarray, offsets: np.ndarray) -> dict:
         lat=np.zeros(n, np.float32), lng=np.zeros(n, np.float32),
         ok=np.zeros(n, bool), w=np.zeros(n, np.int64), h=np.zeros(n, np.int64),
         n_pixels=np.zeros(n, np.int64), luma_sum=np.zeros(n, np.float64),
+        ch_sum=np.zeros((n, 3), np.int64), fmt_code=np.zeros(n, np.uint8),
     )
+    if keep_decoded:
+        zero["rle"] = (
+            np.empty(0, np.uint8), np.zeros(1, np.int64),
+            np.empty(0, np.int64), np.empty(0, bool),
+        )
     if n == 0 or data.size < HEADER_LEN:
         return zero
 
@@ -269,6 +284,10 @@ def batch_image_stats(data: np.ndarray, offsets: np.ndarray) -> dict:
 
     chsum = np.zeros((n, 3), dtype=np.int64)
     rows_all = np.arange(n, dtype=np.int64)
+    rle_out = (
+        np.empty(0, np.uint8), np.zeros(1, np.int64),
+        np.empty(0, np.int64), np.empty(0, bool),
+    )
     if is_raw.any():
         _channel_sums_grouped(data, ps[is_raw], npx[is_raw], rows_all[is_raw], chsum)
     if is_qnt.any():
@@ -291,14 +310,19 @@ def batch_image_stats(data: np.ndarray, offsets: np.ndarray) -> dict:
         _channel_sums_grouped(
             decoded, dstart[:-1][good], npx[is_rle][good], rle_rows[good], chsum
         )
+        rle_out = (decoded, dstart, rle_rows, good)
 
     luma = (
         _LUMA[0] * chsum[:, 0] + _LUMA[1] * chsum[:, 1] + _LUMA[2] * chsum[:, 2]
     ).astype(np.float64)
-    return dict(
+    out = dict(
         lat=hdr["lat"].copy(), lng=hdr["lng"].copy(), ok=ok, w=w, h=h,
         n_pixels=np.where(ok, npx, 0), luma_sum=np.where(ok, luma, 0.0),
+        ch_sum=np.where(ok[:, None], chsum, 0), fmt_code=hdr["fmt"].copy(),
     )
+    if keep_decoded:
+        out["rle"] = rle_out
+    return out
 
 
 def pack_blobs(bufs) -> tuple:

@@ -5,23 +5,28 @@ Image/audio libraries are not in this container, so the codec is our own
 batch shape, partition-local decode (never shuffle multi-KB payloads), and
 vectorized per-batch numpy. Operators:
 
-* features    — decode -> per-image stats (mean RGB, luma, phash verify)
-* resize_nn   — nearest-neighbor resize, re-encoded into the same container
+* features    — per-image stats (mean RGB, luma, phash verify) from ONE
+  vectorized batch pass (imagecodec.batch_image_stats); the only per-image
+  Python left is the blake2b call of the phash verify itself
+* resize_nn   — nearest-neighbor resize, re-encoded into the same container;
+  output pixels gather directly from the packed payload stream per
+  (h, w)-shape group — no per-image decode, no per-image bytes objects
 * frame_sample— every k-th frame per clip (deterministic window sample)
-* A real JPEG/PNG decode would slot into _decode below; formats outside our
-  container raise NotImplementedError at decode time, routed to a 'failed'
-  flag rather than failing the job.
+* A real JPEG/PNG decode would slot into the batch kernels below; formats
+  outside our container are routed to a 'failed' flag rather than failing
+  the job.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .imagecodec import FMT_CODES, decode_image, phash_pixels
+from .imagecodec import FMT_CODES, HEADER_LEN
 
 FEATURES_SCHEMA = T.StructType(
     [
@@ -38,46 +43,73 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _phash_i64(buf) -> int:
+    """blake2b-8 content hash of a pixel byte stream (== phash_pixels)."""
+    return int.from_bytes(
+        hashlib.blake2b(buf, digest_size=8).digest(), "little", signed=True
+    )
+
+
 def image_features(images: DataFrame) -> DataFrame:
-    """Decode each image where it lives (mapInPandas, no shuffle) and emit
-    per-image feature stats + phash verification for lossless formats."""
+    """Per-image feature stats + phash verification, fully vectorized.
+
+    One mapInArrow stage: the payload column is consumed zero-copy from the
+    Arrow buffers; means come from batch_image_stats' exact integer channel
+    sums (no decode loop, no per-image pixel arrays). The ONLY per-image
+    Python is the phash verify — one blake2b call per lossless row over the
+    in-place payload bytes (raw) or the single global RLE decode stream —
+    hashing is inherently per-row. (The round-2 form decoded every image in
+    a Python loop; this was the last row-at-a-time decode on a hot path.)
+    """
+    import pyarrow as pa
+
+    from .engine import _arrow_binary_view
+    from .imagecodec import batch_image_stats
 
     def _feat(batches):
-        for pdf in batches:
-            rows = []
-            # zip over list columns, not iterrows (iterrows builds a Series
-            # per row — measured 2-5x Python overhead on the decode loop)
-            for iid, buf, fmt, ph in zip(
-                pdf["image_id"].tolist(), pdf["bytes"].tolist(),
-                pdf["fmt"].tolist(), pdf["phash"].tolist(),
-            ):
-                rec = {"image_id": iid, "decode_failed": False}
-                try:
-                    _, _, pix = decode_image(bytes(buf))
-                    p = pix.astype(np.float64)
-                    rec.update(
-                        w=pix.shape[1],
-                        h=pix.shape[0],
-                        mean_r=float(p[..., 0].mean()),
-                        mean_g=float(p[..., 1].mean()),
-                        mean_b=float(p[..., 2].mean()),
-                        mean_luma=float(
-                            (0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]).mean()
-                        ),
-                        phash_ok=(
-                            bool(phash_pixels(pix) == int(ph))
-                            if fmt in ("raw", "rle")
-                            else None
-                        ),
-                    )
-                except Exception:
-                    rec.update(w=None, h=None, mean_r=None, mean_g=None,
-                               mean_b=None, mean_luma=None, phash_ok=None,
-                               decode_failed=True)
-                rows.append(rec)
-            yield pd.DataFrame(rows)
+        for batch in batches:
+            ids = batch.column(0)
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            ph = batch.column(2).to_numpy(zero_copy_only=False)
+            st = batch_image_stats(data, offs, keep_decoded=True)
+            ok = st["ok"] if valid is None else st["ok"] & valid
+            n = len(ok)
+            bad = ~ok
+            npx = np.maximum(st["n_pixels"], 1).astype(np.float64)
+            ch = st["ch_sum"].astype(np.float64)
 
-    return images.select("image_id", "bytes", "fmt", "phash").mapInPandas(
+            # phash verify for lossless rows (raw: payload bytes in place;
+            # rle: slices of the one global decode). qnt is lossy -> null.
+            phash_ok = np.zeros(n, dtype=bool)
+            has_phash = np.zeros(n, dtype=bool)
+            ps = offs[:-1] + HEADER_LEN
+            for i in np.flatnonzero(ok & (st["fmt_code"] == FMT_CODES["raw"])):
+                phash_ok[i] = (
+                    _phash_i64(data[ps[i] : ps[i] + 3 * st["n_pixels"][i]]) == ph[i]
+                )
+                has_phash[i] = True
+            decoded, dstart, rle_rows, good = st["rle"]
+            for j, i in enumerate(rle_rows):
+                if good[j] and ok[i]:
+                    phash_ok[i] = _phash_i64(decoded[dstart[j] : dstart[j + 1]]) == ph[i]
+                    has_phash[i] = True
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(st["w"].astype(np.int32), mask=bad),
+                    pa.array(st["h"].astype(np.int32), mask=bad),
+                    pa.array(ch[:, 0] / npx, mask=bad),
+                    pa.array(ch[:, 1] / npx, mask=bad),
+                    pa.array(ch[:, 2] / npx, mask=bad),
+                    pa.array(st["luma_sum"] / npx, mask=bad),
+                    pa.array(phash_ok, mask=bad | ~has_phash),
+                    pa.array(bad),
+                ],
+                names=[f.name for f in FEATURES_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes", "phash").mapInArrow(
         _feat, FEATURES_SCHEMA
     )
 
@@ -103,28 +135,96 @@ def resize_nn_pixels(pix: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Resize every image to (out_w, out_h), re-encoding losslessly (raw)
-    with the original GPS header preserved."""
+    with the original GPS header preserved.
+
+    Vectorized per (h, w)-shape group: nearest-neighbor only READS
+    out_w*out_h*3 source bytes per image, so the resize gathers exactly those
+    bytes straight out of the packed payload stream (raw/qnt: the Arrow data
+    buffer; rle: the one global decode from batch_image_stats) with a single
+    (k, out_bytes) fancy index per group — no per-image decode, no (h, w, 3)
+    intermediates. Output blobs are fixed-length, so the whole output column
+    is ONE (n, out_len) uint8 matrix handed to Arrow as a single buffer —
+    zero per-image bytes objects in either direction.
+    """
+    import pyarrow as pa
+
+    from .engine import _arrow_binary_view
+    from .imagecodec import _HEADER_DTYPE, MAGIC, batch_image_stats
+
+    out_npx = out_w * out_h
+    out_len = HEADER_LEN + 3 * out_npx
 
     def _resize(batches):
-        for pdf in batches:
-            rows = []
-            for iid, src in zip(pdf["image_id"].tolist(), pdf["bytes"].tolist()):
-                try:
-                    lat, lng, pix = decode_image(bytes(src))
-                    small = resize_nn_pixels(pix, out_w, out_h)
-                    buf = _encode_raw(float(lat), float(lng), small)
-                    rows.append(
-                        {"image_id": iid, "bytes": buf,
-                         "w": out_w, "h": out_h, "decode_failed": False}
-                    )
-                except Exception:
-                    rows.append(
-                        {"image_id": iid, "bytes": None,
-                         "w": None, "h": None, "decode_failed": True}
-                    )
-            yield pd.DataFrame(rows)
+        for batch in batches:
+            ids = batch.column(0)
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            st = batch_image_stats(data, offs, keep_decoded=True)
+            ok = st["ok"] if valid is None else st["ok"] & valid
+            n = len(ok)
+            bad = ~ok
 
-    return images.select("image_id", "bytes").mapInPandas(_resize, RESIZED_SCHEMA)
+            buf = np.zeros((n, out_len), np.uint8)
+            hdrs = np.zeros(n, dtype=_HEADER_DTYPE)
+            hdrs["magic"] = MAGIC
+            hdrs["lat"] = st["lat"]
+            hdrs["lng"] = st["lng"]
+            hdrs["w"] = out_w
+            hdrs["h"] = out_h
+            hdrs["fmt"] = FMT_CODES["raw"]
+            buf[:, :HEADER_LEN] = hdrs.view(np.uint8).reshape(n, HEADER_LEN)
+
+            ps = offs[:-1] + HEADER_LEN
+            decoded, dstart, rle_rows, good = st["rle"]
+            rle_start = np.full(n, -1, np.int64)
+            rle_start[rle_rows[good]] = dstart[:-1][good]
+            fmtc = st["fmt_code"]
+            h64, w64 = st["h"], st["w"]
+            okw = np.flatnonzero(ok)
+            is_rle_row = np.zeros(n, bool)
+            is_rle_row[rle_rows] = True
+            for hh, ww in set(zip(h64[okw].tolist(), w64[okw].tolist())):
+                sel = okw[(h64[okw] == hh) & (w64[okw] == ww)]
+                yi = (np.arange(out_h) * hh // out_h).clip(0, hh - 1)
+                xi = (np.arange(out_w) * ww // out_w).clip(0, ww - 1)
+                # byte position of each output pixel inside a packed payload
+                pos = (3 * (yi[:, None] * ww + xi[None, :])).reshape(-1)
+                pos3 = (pos[:, None] + np.arange(3)).reshape(-1)
+                for rows, src, start, qnt in (
+                    (sel[fmtc[sel] == FMT_CODES["raw"]], data, ps, False),
+                    (sel[fmtc[sel] == FMT_CODES["qnt"]], data, ps, True),
+                    (sel[is_rle_row[sel]], decoded, rle_start, False),
+                ):
+                    if rows.shape[0] == 0:
+                        continue
+                    g = src[start[rows][:, None] + pos3[None, :]]
+                    buf[rows, HEADER_LEN:] = ((g << 2) + 2) if qnt else g
+
+            # one Arrow buffer for the whole column: nulls get zero length
+            lens = np.where(ok, out_len, 0).astype(np.int64)
+            off32 = np.zeros(n + 1, np.int32)
+            off32[1:] = np.cumsum(lens).astype(np.int32)
+            values = pa.py_buffer(np.ascontiguousarray(buf[okw]).tobytes())
+            validity = (
+                None if ok.all() else pa.py_buffer(np.packbits(ok, bitorder="little"))
+            )
+            bytes_arr = pa.Array.from_buffers(
+                pa.binary(), n, [validity, pa.py_buffer(off32), values],
+                null_count=int(bad.sum()),
+            )
+            wcol = np.full(n, out_w, np.int32)
+            hcol = np.full(n, out_h, np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    bytes_arr,
+                    pa.array(wcol, mask=bad),
+                    pa.array(hcol, mask=bad),
+                    pa.array(bad),
+                ],
+                names=[f.name for f in RESIZED_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(_resize, RESIZED_SCHEMA)
 
 
 def _encode_raw(lat: float, lng: float, pix: np.ndarray) -> bytes:

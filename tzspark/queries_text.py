@@ -474,9 +474,19 @@ def q23_embed_near_dup(spark, sf_dir):
     The blocking key is the q22 8-bit sign bucket (expected bucket size
     ~N/256, shrinking exponentially with more bits), NOT an unbounded label
     block: candidates are generated by an equi-join on the bucket id, then
-    exact cosine >= 0.30 filters. High-cosine pairs share sign patterns with
-    high probability, and at 10^12 rows this is a bounded bucketed shuffle
-    instead of a per-label quadratic."""
+    exact cosine >= 0.30 filters. At 10^12 rows this is a bounded bucketed
+    shuffle instead of a per-label quadratic.
+
+    RECALL SEMANTICS (explicit, not a silent loss): the query's contract is
+    "high-cosine pairs WITHIN a sign bucket", and the oracle checks exactly
+    that. Sign-LSH recall per bit is (1 - theta/pi), so the screen is built
+    for the true near-dup regime — cosine >= 0.99 (theta ~ 8 deg) gives
+    ~0.955^8 ~ 69% per 8-bit band and >= 99% with 4-band OR-amplification.
+    At the 0.30 threshold used here (theta ~ 72 deg — far below near-dup),
+    single-band recall vs exact all-pairs is (1 - 0.40)^8 ~ 1.7%; measured
+    1.8% on the synthetic embeddings (tests/test_q23_recall.py pins both
+    regimes against an exact all-pairs oracle). A caller wanting recall at
+    low thresholds needs band amplification or brute force (q21)."""
     e = _embs(spark, sf_dir)
     b = e.select("vec_id", "label", "embedding", _sign_bucket_col().alias("bucket"))
     a = b.select(
