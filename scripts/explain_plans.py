@@ -124,6 +124,33 @@ def main():
     if "MapInPandas" not in p4:
         failures.append("tile: decode stage missing from plan")
 
+    # 6. broadcast-free cover-as-table resolve: cover joins must be shuffle
+    # joins (the whole point — nothing driver-sized), exactly one Python
+    # stage (the boundary PIP), zero BroadcastHashJoin anywhere
+    from tzspark.cells import compile_cover
+    from tzspark.covertable import CoverTables, resolve_via_join
+    from tzspark.queries_geo import box_zones, pts_df
+
+    sf_small = "/root/testdata/sf0.001"
+    cov = CoverTables.from_index(
+        spark, compile_cover(box_zones(spark, sf_small), base_res=3, max_res=7)
+    )
+    p6 = plan_of(
+        resolve_via_join(pts_df(spark, sf_small), "event_id", cov).select(
+            "event_id", "zone_id"
+        )
+    )
+    sections.append(("broadcast-free cover-as-table resolve (join path)", p6))
+    n_shj = len(re.findall(r"\(\d+\) ShuffledHashJoin", p6))
+    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", p6))
+    n_py6 = len(re.findall(r"\(\d+\) (?:ArrowEvalPython|MapInPandas|MapInArrow)", p6))
+    if n_shj < 2:
+        failures.append(f"cover-join: {n_shj} ShuffledHashJoins (expected >= 2)")
+    if n_bhj != 0:
+        failures.append(f"cover-join: {n_bhj} BroadcastHashJoins (expected 0)")
+    if n_py6 != 1:
+        failures.append(f"cover-join: {n_py6} Python stages (expected exactly 1)")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -141,6 +168,8 @@ def main():
             f"- zone_id-only projection scans ReadSchema struct<{read_cols}>\n"
             "- fmt equality filter pushed to the parquet scan\n"
             "- tile rollup shuffles only post-decode partial sums\n"
+            "- cover-as-table resolve: cover joins are ShuffledHashJoin, zero "
+            "BroadcastHashJoin, one Python stage (the boundary PIP)\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

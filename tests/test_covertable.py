@@ -1,0 +1,122 @@
+"""Cover-as-table resolve (covertable.py): the broadcast-free join path must
+equal the broadcast kernels exactly — resolve, kNN, and the full facade
+assignment — including on the reference-scale world zone set."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tzspark.cells import compile_cover, knn_fallback, resolve_points
+from tzspark.covertable import (
+    CoverTables,
+    assign_via_join,
+    knn_via_join,
+    resolve_via_join,
+)
+from tzspark.engine import assign_udf, knn_only_udf, resolve_only_udf
+from tzspark.queries_geo import box_zones, pts_df
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def box_cover(spark):
+    zones = box_zones(spark, SF)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    return idx, CoverTables.from_index(spark, idx)
+
+
+def _pd(df, cols):
+    return df.select(*cols).toPandas().set_index(cols[0]).sort_index()
+
+
+def test_resolve_join_equals_broadcast(spark, box_cover):
+    idx, cov = box_cover
+    p = pts_df(spark, SF)
+    bidx = spark.sparkContext.broadcast(idx)
+    want = _pd(
+        p.select("event_id",
+                 resolve_only_udf(bidx)(F.col("lat"), F.col("lng")).alias("zone_id")),
+        ["event_id", "zone_id"],
+    )
+    got = _pd(resolve_via_join(p, "event_id", cov), ["event_id", "zone_id"])
+    assert (want["zone_id"] == got["zone_id"]).all()
+    assert (got["zone_id"] == -1).any()  # both regimes exercised
+    assert (got["zone_id"] >= 0).any()
+
+
+def test_assign_join_equals_broadcast(spark, box_cover):
+    idx, cov = box_cover
+    p = pts_df(spark, SF)
+    bidx = spark.sparkContext.broadcast(idx)
+    want = _pd(
+        p.select("event_id", assign_udf(bidx)(F.col("lat"), F.col("lng")).alias("a"))
+        .select("event_id", "a.zone_id", "a.via_knn"),
+        ["event_id", "zone_id", "via_knn"],
+    )
+    got = _pd(assign_via_join(p, "event_id", cov), ["event_id", "zone_id", "via_knn"])
+    assert (want["zone_id"] == got["zone_id"]).all()
+    assert (want["via_knn"] == got["via_knn"]).all()
+
+
+def test_save_load_roundtrip(spark, box_cover, tmp_path):
+    idx, cov = box_cover
+    path = str(tmp_path / "cover")
+    cov.save(path)
+    cov2 = CoverTables.load(spark, path)
+    assert (cov2.base_res, cov2.max_res, cov2.knn_res) == (
+        cov.base_res, cov.max_res, cov.knn_res,
+    )
+    p = pts_df(spark, SF).limit(2000)
+    a = _pd(resolve_via_join(p, "event_id", cov), ["event_id", "zone_id"])
+    b = _pd(resolve_via_join(p, "event_id", cov2), ["event_id", "zone_id"])
+    assert (a["zone_id"] == b["zone_id"]).all()
+
+
+def test_facade_assign_join_equals_assign(spark, tmp_path):
+    """TimezoneLookup.assign_join == TimezoneLookup.assign on the image
+    table (full pipeline: GPS extract -> quarantine -> join assign -> tzid),
+    against the synthetic zone set incl. concave/hole/coast/ocean shapes."""
+    from tzspark.api import TimezoneLookup
+    from tzspark.datasets import images_from_events
+    from tzspark.zones import make_zones
+
+    tl = TimezoneLookup(make_zones(n_coast=2000))
+    imgs = images_from_events(spark, SF)
+    cols = ["image_id", "zone_id", "via_knn", "tzid", "cell_id"]
+    want = _pd(tl.assign(spark, imgs), cols)
+    got = _pd(tl.assign_join(spark, imgs, cache_dir=str(tmp_path)), cols)
+    assert len(want) == len(got)
+    for c in cols[1:]:
+        assert (want[c] == got[c]).all(), c
+
+
+def test_world_scale_join_parity(spark):
+    """The join path on a reference-shaped world set (multi-thousand zones,
+    index form with b_edge_idx) — equal to the broadcast kernels on random
+    points across both matched and kNN regimes."""
+    from tzspark.zones import make_world_zones
+
+    idx = compile_cover(make_world_zones(n_tzids=160))  # 3,200 polygons
+    cov = CoverTables.from_index(spark, idx)
+    rng = np.random.default_rng(23)
+    n = 20_000
+    lat = rng.uniform(-60, 60, n).astype(np.float32)
+    lng = rng.uniform(-180, 180, n).astype(np.float32)
+    want = resolve_points(idx, lat, lng)
+    un = want == -1
+    want_knn = knn_fallback(idx, lat[un], lng[un])
+
+    p = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lng[i])) for i in range(n)],
+        "pid long, lat float, lng float",
+    )
+    got = _pd(resolve_via_join(p, "pid", cov), ["pid", "zone_id"])
+    np.testing.assert_array_equal(got["zone_id"].to_numpy(), want)
+
+    unmatched = p.join(
+        spark.createDataFrame([(int(i),) for i in np.flatnonzero(un)], "pid long"),
+        "pid",
+    )
+    gk = _pd(knn_via_join(unmatched, "pid", cov), ["pid", "zone_id"])
+    np.testing.assert_array_equal(gk["zone_id"].to_numpy(), want_knn)

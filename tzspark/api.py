@@ -204,6 +204,59 @@ class TimezoneLookup:
         dim = zone_dim_df(spark, self.zones)
         return assign_timezones(images_df, idx_b, dim, max_res=self.max_res)
 
+    def cover_tables(self, spark, cache_dir: str = None):
+        """The compiled cover as relational tables (covertable.CoverTables),
+        optionally persisted as parquet keyed by the zone-content hash — the
+        broadcast-free counterpart of the pickle cache in _compile."""
+        from .covertable import CoverTables
+
+        if cache_dir:
+            path = os.path.join(cache_dir, f"covertbl_{self._content_key()}")
+            if not os.path.exists(os.path.join(path, "meta.json")):
+                CoverTables.from_index(spark, self.idx).save(path)
+            return CoverTables.load(spark, path)
+        return CoverTables.from_index(spark, self.idx)
+
+    def assign_join(self, spark, images_df, cache_dir: str = None):
+        """assign() with ZERO broadcast of the compiled cover: GPS extract
+        (header-only Arrow crossing) -> quarantine -> cell-id equi-joins
+        against the cover tables (covertable.assign_via_join) -> tzid attach.
+
+        Same output as assign() (pinned in tests/test_covertable.py); use it
+        when the zone set is past the broadcast budget (the 142 MB world
+        index is already 71% of the repo's 200 MB budget — a 10x richer or
+        multi-tenant zone table only works on this path). The tiny
+        (zone_id, tzid) dim still broadcasts — it is O(zones), not O(edges).
+        """
+        from pyspark.sql import functions as F
+
+        from .covertable import assign_via_join
+        from .engine import extract_gps_udf, gps_header_col, zone_dim_df
+        from .cells import cell_id_col
+
+        cov = self.cover_tables(spark, cache_dir)
+        dim = zone_dim_df(spark, self.zones)
+        g = images_df.withColumn(
+            "g", extract_gps_udf()(gps_header_col(F.col("bytes")))
+        )
+        pts = g.select(
+            "*",
+            F.col("g.lat").alias("lat"),
+            F.col("g.lng").alias("lng"),
+            (
+                ~F.col("g.gps_ok")
+                | ~F.col("g.lat").between(-90.0, 90.0)
+                | ~F.col("g.lng").between(-180.0, 180.0)
+            ).alias("quarantined"),
+        ).drop("g")
+        ok = pts.where(~F.col("quarantined")).withColumn(
+            "cell_id", cell_id_col(F.col("lat"), F.col("lng"), self.max_res)
+        )
+        assigned = assign_via_join(ok, "image_id", cov)
+        return assigned.join(
+            F.broadcast(dim.select("zone_id", "tzid")), "zone_id", "left"
+        )
+
     def assign_bucketed(self, spark, images_df, table_name: str, n_buckets: int = 32):
         """assign() + persist the result BUCKETED on cell_id (sorted within
         buckets), so every later join/aggregation on cell_id against another

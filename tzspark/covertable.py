@@ -1,0 +1,389 @@
+"""Cover-as-table resolve: the broadcast-free lookup path.
+
+The default engine broadcasts the whole CompiledIndex to every executor
+(engine.assign_timezones) — right up to the point where the zone set outgrows
+the broadcast budget (142 MB at the synthetic reference operating point;
+real timezone-boundary-builder coastlines are 20k-vertex rings,
+/root/reference/README.md:9, and a 10x richer or multi-tenant zone table
+breaks it). This module is the other physical strategy for the SAME logical
+operator (SURVEY.md §2.3 J1 names it explicitly:
+``points.join(cells_df, 'cell_id') + PIP``): the compiled cover is laid out
+as two RELATIONAL tables and the probe becomes cell-id equi-joins —
+shuffle-partitioned like any other big join, no driver-side structure at all.
+
+Tables (both derivable from a CompiledIndex, persistable as parquet keyed by
+the existing content hash):
+
+* interior(res, cell_id, zmin)       — full-claim cells per resolution; zmin
+  is the min zone_id claiming the cell (resolve's argmin only ever needs it)
+* boundary(cell_id, zone_id, ea/eb lat/lng arrays) — one row per
+  (max-res boundary cell, candidate zone) carrying the pruned edge subset
+
+and for the kNN fallback:
+
+* knn(knn_cell, zone_id, min/max lat/lng) — the exact coarse-cell candidate
+  table (cells.py _compile_knn_table) as rows; the clamp-distance argmin is
+  then PURE column arithmetic + min(struct(dist2, zone_id)) — no UDF at all.
+
+Semantics are pinned equal to the broadcast kernels (tests/test_covertable.py
+and the q39/q40 driver oracles — same SQL oracles as q11/q12).
+
+Scale shape: the points side shuffles only (key, lat, lng, cell_id); the
+cover side shuffles once and can be bucketed/persisted. Skewed boundary
+cells (a dense city cell with many candidates) are ordinary join skew —
+AQE's skewJoin splitting applies, unlike a broadcast whose cost is all-or-
+nothing per executor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .cells import DEFAULT_KNN_RES, CompiledIndex, cell_id_col
+from .geom import F32
+
+INTERIOR_SCHEMA = T.StructType(
+    [
+        T.StructField("res", T.IntegerType(), False),
+        T.StructField("cell_id", T.LongType(), False),
+        T.StructField("zmin", T.IntegerType(), False),
+    ]
+)
+
+BOUNDARY_SCHEMA = T.StructType(
+    [
+        T.StructField("cell_id", T.LongType(), False),
+        T.StructField("zone_id", T.IntegerType(), False),
+        T.StructField("ea_lat", T.ArrayType(T.FloatType()), False),
+        T.StructField("ea_lng", T.ArrayType(T.FloatType()), False),
+        T.StructField("eb_lat", T.ArrayType(T.FloatType()), False),
+        T.StructField("eb_lng", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+KNN_SCHEMA = T.StructType(
+    [
+        T.StructField("knn_cell", T.LongType(), False),
+        T.StructField("zone_id", T.IntegerType(), False),
+        T.StructField("min_lat", T.DoubleType(), False),
+        T.StructField("min_lng", T.DoubleType(), False),
+        T.StructField("max_lat", T.DoubleType(), False),
+        T.StructField("max_lng", T.DoubleType(), False),
+    ]
+)
+
+
+def _interior_arrow(idx: CompiledIndex):
+    import pyarrow as pa
+
+    res_parts, cell_parts, zmin_parts = [], [], []
+    for r in range(idx.base_res, idx.max_res + 1):
+        cells, off, zl = idx.full[r]
+        if len(cells) == 0:
+            continue
+        res_parts.append(np.full(len(cells), r, np.int32))
+        cell_parts.append(cells)
+        # full-claim lists are sorted by zone index == zone_id order, so the
+        # first element IS the argmin zone (same shortcut resolve_points uses)
+        zmin_parts.append(idx.zone_ids[zl[off[:-1]]].astype(np.int32))
+    if not res_parts:
+        return pa.table(
+            {"res": pa.array([], pa.int32()), "cell_id": pa.array([], pa.int64()),
+             "zmin": pa.array([], pa.int32())}
+        )
+    return pa.table(
+        {
+            "res": np.concatenate(res_parts),
+            "cell_id": np.concatenate(cell_parts),
+            "zmin": np.concatenate(zmin_parts),
+        }
+    )
+
+
+def _boundary_arrow(idx: CompiledIndex):
+    import pyarrow as pa
+
+    if idx.b_cells is None or len(idx.b_cells) == 0:
+        empty_list = pa.array([], pa.list_(pa.float32()))
+        return pa.table(
+            {"cell_id": pa.array([], pa.int64()), "zone_id": pa.array([], pa.int32()),
+             "ea_lat": empty_list, "ea_lng": empty_list,
+             "eb_lat": empty_list, "eb_lng": empty_list}
+        )
+    cnt = np.diff(idx.b_off)
+    cell_per_cand = np.repeat(idx.b_cells, cnt)
+    zid = idx.zone_ids[idx.b_zone].astype(np.int32)
+    if idx.b_ea_lat is not None:  # materialized contiguous edge subsets
+        ea_lat, ea_lng = idx.b_ea_lat, idx.b_ea_lng
+        eb_lat, eb_lng = idx.b_eb_lat, idx.b_eb_lng
+    else:  # index form: gather once from the global edge arrays
+        g = idx.b_edge_idx
+        ea_lat, ea_lng = idx.ea_lat[g], idx.ea_lng[g]
+        eb_lat, eb_lng = idx.eb_lat[g], idx.eb_lng[g]
+    offs = idx.b_edge_off.astype(np.int32)
+
+    def lst(v):
+        return pa.ListArray.from_arrays(pa.array(offs), pa.array(v))
+
+    return pa.table(
+        {
+            "cell_id": cell_per_cand,
+            "zone_id": zid,
+            "ea_lat": lst(ea_lat),
+            "ea_lng": lst(ea_lng),
+            "eb_lat": lst(eb_lat),
+            "eb_lng": lst(eb_lng),
+        }
+    )
+
+
+def _knn_arrow(idx: CompiledIndex):
+    import pyarrow as pa
+
+    cnt = np.diff(idx.knn_off)
+    cells = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    zi = idx.knn_zidx.astype(np.int64)
+    bb = idx.zone_bbox.astype(np.float64)
+    return pa.table(
+        {
+            "knn_cell": cells,
+            "zone_id": idx.zone_ids[zi].astype(np.int32),
+            "min_lat": bb[zi, 0],
+            "min_lng": bb[zi, 1],
+            "max_lat": bb[zi, 2],
+            "max_lng": bb[zi, 3],
+        }
+    )
+
+
+def _df(spark: SparkSession, tbl, schema) -> DataFrame:
+    try:
+        return spark.createDataFrame(tbl, schema=schema)  # pyarrow Table path
+    except Exception:
+        return spark.createDataFrame(tbl.to_pandas(), schema=schema)
+
+
+class CoverTables:
+    """The compiled cover as three DataFrames (interior / boundary / knn)."""
+
+    def __init__(self, interior: DataFrame, boundary: DataFrame, knn: DataFrame,
+                 base_res: int, max_res: int, knn_res: int):
+        self.interior = interior
+        self.boundary = boundary
+        self.knn = knn
+        self.base_res = base_res
+        self.max_res = max_res
+        self.knn_res = knn_res
+
+    @classmethod
+    def from_index(cls, spark: SparkSession, idx: CompiledIndex) -> "CoverTables":
+        return cls(
+            _df(spark, _interior_arrow(idx), INTERIOR_SCHEMA),
+            _df(spark, _boundary_arrow(idx), BOUNDARY_SCHEMA),
+            _df(spark, _knn_arrow(idx), KNN_SCHEMA),
+            idx.base_res, idx.max_res, idx.knn_res or DEFAULT_KNN_RES,
+        )
+
+    def save(self, path: str):
+        """Persist as parquet snapshot dirs (one per table + a meta row).
+        Callers key ``path`` by the zone-content hash (api._content_key) so
+        a changed zone table can never read a stale cover."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.interior.write.mode("overwrite").parquet(f"{path}/interior")
+        self.boundary.write.mode("overwrite").parquet(f"{path}/boundary")
+        self.knn.write.mode("overwrite").parquet(f"{path}/knn")
+        with open(f"{path}/meta.json", "w") as f:
+            json.dump({"base_res": self.base_res, "max_res": self.max_res,
+                       "knn_res": self.knn_res}, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "CoverTables":
+        import json
+
+        with open(f"{path}/meta.json") as f:
+            meta = json.load(f)
+        return cls(
+            spark.read.parquet(f"{path}/interior"),
+            spark.read.parquet(f"{path}/boundary"),
+            spark.read.parquet(f"{path}/knn"),
+            meta["base_res"], meta["max_res"], meta["knn_res"],
+        )
+
+
+def _pip_pairs_udf():
+    """pandas_udf: (lat, lng, edge-subset arrays) -> inside? per joined row.
+
+    The same float32 even-odd ray cast as cells._resolve_pairs, over ragged
+    per-row edge lists flattened once per Arrow batch (one kernel pass, no
+    per-row Python). Parity over the pruned subset == parity over the full
+    ring (cells._pip_edge_subset invariant carried by the boundary table)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _pip(lat: pd.Series, lng: pd.Series, ea_lat: pd.Series, ea_lng: pd.Series,
+             eb_lat: pd.Series, eb_lng: pd.Series) -> pd.Series:
+        n = len(lat)
+        if n == 0:
+            return pd.Series(np.zeros(0, bool))
+        pl = lat.to_numpy(dtype=F32, na_value=np.nan)
+        pg = lng.to_numpy(dtype=F32, na_value=np.nan)
+        vals = ea_lat.to_numpy()
+        counts = np.fromiter((len(v) for v in vals), np.int64, n)
+
+        def flat(s):
+            a = s.to_numpy()
+            return (
+                np.concatenate(a).astype(F32, copy=False)
+                if counts.sum()
+                else np.empty(0, F32)
+            )
+
+        a_lat, a_lng = flat(ea_lat), flat(ea_lng)
+        b_lat, b_lng = flat(eb_lat), flat(eb_lng)
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        PL, PG = pl[row], pg[row]
+        straddle = (a_lng > PG) != (b_lng > PG)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            t = ((b_lat - a_lat) * (PG - a_lng)) / (b_lng - a_lng) + a_lat
+        cross = (straddle & (PL < t)).astype(np.int64)
+        out = np.zeros(n, bool)
+        nz = counts > 0
+        if nz.any():
+            seg = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+            parity = np.add.reduceat(cross, seg[nz]) & 1
+            out[nz] = parity.astype(bool)
+        return pd.Series(out)
+
+    return _pip
+
+
+def resolve_via_join(
+    points: DataFrame,
+    key_col: str,
+    cover: CoverTables,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Broadcast-free resolve: (key, lat, lng) -> (points.*, zone_id).
+
+    Semantics == cells.resolve_points (argmin zone_id over containing zones,
+    -1 when none; float32 half-open PIP):
+
+    * interior claims: the point's ancestor cell at EACH resolution joins the
+      interior table on (res, cell_id) — one explode into base..max thin rows
+      per point, one shuffle-partitioned equi-join,
+    * boundary cells: the max-res cell joins the boundary table on cell_id;
+      the pruned-edge float32 ray cast runs in a pandas UDF over the joined
+      candidate fragments,
+    * argmin: min() over both candidate streams per key, left-joined back.
+
+    Joins are hinted shuffle_hash on the cover side — the point of this path
+    is that NOTHING is broadcast, so it keeps working when the cover is 10x
+    the driver's budget. (For covers that DO fit, engine.assign_timezones'
+    broadcast probe is the faster physical strategy; this is the same logical
+    operator at the other end of the size regime.)
+    """
+    pts = points.select(
+        F.col(key_col).alias("_k"),
+        F.col(lat_col).cast("float").alias("_lat"),
+        F.col(lng_col).cast("float").alias("_lng"),
+    )
+
+    anc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("res"),
+                    cell_id_col(F.col("_lat"), F.col("_lng"), r).alias("cell_id"),
+                )
+                for r in range(cover.base_res, cover.max_res + 1)
+            ]
+        )
+    ).alias("a")
+    pi = pts.select("_k", anc).select("_k", "a.res", "a.cell_id")
+    im = pi.join(cover.interior.hint("shuffle_hash"), ["res", "cell_id"]).select(
+        "_k", F.col("zmin").alias("cand")
+    )
+
+    pb = pts.withColumn(
+        "cell_id", cell_id_col(F.col("_lat"), F.col("_lng"), cover.max_res)
+    )
+    jb = pb.join(cover.boundary.hint("shuffle_hash"), "cell_id")
+    inside = _pip_pairs_udf()(
+        F.col("_lat"), F.col("_lng"),
+        F.col("ea_lat"), F.col("ea_lng"), F.col("eb_lat"), F.col("eb_lng"),
+    )
+    bm = jb.where(inside).select("_k", F.col("zone_id").alias("cand"))
+
+    cands = im.unionAll(bm).groupBy("_k").agg(F.min("cand").alias("_zid"))
+    return (
+        points.join(cands, F.col(key_col) == F.col("_k"), "left")
+        .drop("_k")
+        .withColumn("zone_id", F.coalesce(F.col("_zid"), F.lit(-1)).cast("int"))
+        .drop("_zid")
+    )
+
+
+def knn_via_join(
+    points: DataFrame,
+    key_col: str,
+    cover: CoverTables,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Broadcast-free kNN fallback: nearest zone by squared MBR clamp
+    distance, tie-break min zone_id — cells.knn_fallback as a relational
+    plan: coarse-cell equi-join against the exact candidate table, clamp
+    distance as pure column arithmetic (float64 from float32 coords, the
+    same formula as the q12 SQL oracle), argmin via min(struct(dist2, id)).
+    No UDF anywhere."""
+    pts = points.select(
+        F.col(key_col).alias("_k"),
+        F.col(lat_col).cast("float").alias("_lat"),
+        F.col(lng_col).cast("float").alias("_lng"),
+    ).withColumn(
+        "knn_cell", cell_id_col(F.col("_lat"), F.col("_lng"), cover.knn_res)
+    )
+    j = pts.join(cover.knn.hint("shuffle_hash"), "knn_cell")
+    la = F.col("_lat").cast("double")
+    lg = F.col("_lng").cast("double")
+    dlat = F.greatest(F.col("min_lat") - la, la - F.col("max_lat"), F.lit(0.0))
+    dlng = F.greatest(F.col("min_lng") - lg, lg - F.col("max_lng"), F.lit(0.0))
+    d2 = dlat * dlat + dlng * dlng
+    best = (
+        j.withColumn("d2", d2)
+        .groupBy("_k")
+        .agg(F.min(F.struct(F.col("d2"), F.col("zone_id"))).alias("b"))
+        .select("_k", F.col("b.zone_id").alias("_zid"))
+    )
+    return (
+        points.join(best, F.col(key_col) == F.col("_k"), "inner")
+        .drop("_k")
+        .withColumn("zone_id", F.col("_zid").cast("int"))
+        .drop("_zid")
+    )
+
+
+def assign_via_join(
+    points: DataFrame,
+    key_col: str,
+    cover: CoverTables,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """resolve_via_join + kNN fallback for unmatched points — the full
+    engine assignment (engine.assign_udf semantics) with zero broadcasts.
+    Adds zone_id + via_knn to ``points``."""
+    r = resolve_via_join(points, key_col, cover, lat_col, lng_col)
+    matched = r.where(F.col("zone_id") != -1).withColumn("via_knn", F.lit(False))
+    un = r.where(F.col("zone_id") == -1).drop("zone_id")
+    k = knn_via_join(un, key_col, cover, lat_col, lng_col).withColumn(
+        "via_knn", F.lit(True)
+    )
+    return matched.unionByName(k)

@@ -432,6 +432,39 @@ SELECT event_id, CAST(zone_id AS INTEGER) AS zone_id FROM d WHERE rn = 1
 """
 
 
+def q39_resolve_join(spark, sf_dir):
+    """J1, broadcast-free physical strategy: the SAME resolve semantics as
+    q11 (compiled cover, argmin zone_id, float32 half-open PIP) executed as
+    cell-id equi-joins against the cover-as-table form (covertable.py) —
+    interior claims join on (res, cell), boundary candidates join on the
+    max-res cell and ray-cast in a pandas UDF over the joined fragments.
+    Same oracle as q10/q11; zero broadcasts (shuffle_hash-hinted), so the
+    path survives zone tables 10x past the driver's broadcast budget."""
+    from .covertable import CoverTables, resolve_via_join
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    cov = CoverTables.from_index(spark, idx)
+    p = pts_df(spark, sf_dir)
+    return resolve_via_join(p, "event_id", cov).select("event_id", "zone_id")
+
+
+def q40_knn_join(spark, sf_dir):
+    """J2, broadcast-free: unmatched points -> nearest zone via the coarse-
+    cell candidate TABLE (equi-join + pure-column clamp distance + struct
+    argmin — no UDF). Same oracle as q12."""
+    from .covertable import CoverTables, knn_via_join, resolve_via_join
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    cov = CoverTables.from_index(spark, idx)
+    p = pts_df(spark, sf_dir)
+    un = resolve_via_join(p, "event_id", cov).where(F.col("zone_id") == -1).drop(
+        "zone_id"
+    )
+    return knn_via_join(un, "event_id", cov).select("event_id", "zone_id")
+
+
 def q28_frame_sample(spark, sf_dir):
     """Deterministic every-k-th sampling per group (the video frame-sample
     operator, imageops.frame_sample) demonstrated on events per user."""
@@ -503,4 +536,6 @@ GEO_QUERIES = {
     "q10_pip_exact_kernel": (q10_pip_exact_kernel, Q10_SQL),
     "q11_resolve_cover": (q11_resolve_cover, Q11_SQL),
     "q12_knn_engine": (q12_knn_engine, Q12_SQL),
+    "q39_resolve_join": (q39_resolve_join, Q10_SQL),
+    "q40_knn_join": (q40_knn_join, Q12_SQL),
 }
