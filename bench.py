@@ -189,6 +189,7 @@ def bench_main():
 # kernels made the old sizes finish too fast to measure honestly)
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
 COMPUTE_ROWS = int(os.environ.get("SPARK_GRAFT_COMPUTE_ROWS", "96000000"))
+WORLD_ROWS = int(os.environ.get("SPARK_GRAFT_WORLD_ROWS", "64000000"))
 
 
 def compute_job_df(spark, n_rows: int, n_parts: int = 256):
@@ -323,6 +324,50 @@ def kernel_scaling():
             "n_rows_per_proc": 2_000_000}
 
 
+def single_world_run(cpus: int):
+    """Child mode for --scaling: the lookup join against the REFERENCE-SCALE
+    zone index (make_world_zones: 1,200 tzids / 24k polygons / 4.8M vertices,
+    ~142 MB broadcast) — the N-vs-4N row where the big broadcast is part of
+    the measured job (materialized to every python worker during warmup,
+    exactly like a long-running cluster job's first task wave)."""
+    from pyspark.sql import functions as F
+
+    from tzspark.api import TimezoneLookup
+    from tzspark.engine import assign_udf, get_spark
+    from tzspark.zones import make_world_zones
+
+    spark = get_spark(
+        app=f"tzspark-world-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "65536"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tl = TimezoneLookup(make_world_zones(), cache_dir=os.path.join(CACHE, "covers"))
+    idx_b = spark.sparkContext.broadcast(tl.idx)
+    n_rows = WORLD_ROWS
+    pts = spark.range(0, n_rows, 1, max(n_rows // 500_000, cpus)).select(
+        ((F.pmod(F.col("id") * 7919, F.lit(120000)) / 1000.0) - 60.0)
+        .cast("float").alias("lat"),
+        ((F.pmod(F.col("id") * 104729, F.lit(360000)) / 1000.0) - 180.0)
+        .cast("float").alias("lng"),
+    )
+    df = pts.select(assign_udf(idx_b)(F.col("lat"), F.col("lng")).alias("a")).groupBy(
+        "a.zone_id"
+    ).count()
+    for _ in range(3):
+        materialize(df)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        materialize(df)
+        times.append(time.time() - t0)
+    dt = sorted(times)[2]
+    print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
+                      "rows_sec": round(n_rows / dt, 1),
+                      "all_secs": [round(t, 3) for t in times]}))
+    spark.stop()
+
+
 def single_run(cpus: int):
     """Child mode for --scaling: time the full engine — per-zone lookup
     rollup AND per-tile raster stats over the payload table, computed by the
@@ -377,6 +422,7 @@ def scaling_main():
     taskset = shutil.which("taskset")
     for mode, flag, rows in (
         ("lookup_compute", "--single-compute-run", COMPUTE_ROWS),
+        ("lookup_world_index", "--single-world-run", WORLD_ROWS),
         ("full_pipeline", "--single-run", SCALING_ROWS),
         ("transfer_ceiling_noop", "--single-noop-run", SCALING_ROWS),
     ):
@@ -404,6 +450,8 @@ if __name__ == "__main__":
         single_compute_run(int(sys.argv[sys.argv.index("--single-compute-run") + 1]))
     elif "--single-noop-run" in sys.argv:
         single_noop_run(int(sys.argv[sys.argv.index("--single-noop-run") + 1]))
+    elif "--single-world-run" in sys.argv:
+        single_world_run(int(sys.argv[sys.argv.index("--single-world-run") + 1]))
     elif "--single-run" in sys.argv:
         single_run(int(sys.argv[sys.argv.index("--single-run") + 1]))
     else:

@@ -86,3 +86,42 @@ def test_world_throughput_near_small_set(world):
     assert r_world >= r_small / 3.0, (
         f"world {r_world/1e6:.2f}M rows/s vs small {r_small/1e6:.2f}M rows/s"
     )
+
+
+def test_world_skewed_coastlines():
+    """Reference-shaped skew: a handful of 20k-vertex coastline rings on top
+    of the 24k uniform polygons (the real set's shape, README.md:9). The
+    compiler's per-level chunking must absorb a single zone with E~20k at
+    world scale; compile time, broadcast size and candidate stats stay
+    bounded, and resolution near a coastline matches the golden oracle."""
+    from tzspark.zones import make_world_zones_skewed
+
+    zones = make_world_zones_skewed()
+    t0 = time.time()
+    idx = compile_cover(zones)
+    compile_s = time.time() - t0
+    assert idx.stats["zones"] == 24_006
+    assert idx.stats["edges"] == 4_800_000 + 6 * 20_004
+    assert compile_s < 90.0, f"skewed cover compile took {compile_s:.1f}s"
+    blob_mb = len(pickle.dumps(idx)) / 1e6
+    assert blob_mb < 200.0, f"broadcast pickle {blob_mb:.1f} MB"
+    assert idx.stats["max_candidates_per_cell"] <= 20
+    # the coastline rows must not blow up the mean pruned-edge subset
+    assert idx.stats["mean_edges_per_candidate"] < 250
+
+    rng = np.random.default_rng(29)
+    # half the sample hugs the first coastline's wiggly edge, half is global
+    n = 800
+    lat = np.concatenate([
+        rng.uniform(-4, 4, n).astype(np.float32),
+        rng.uniform(-60, 60, n).astype(np.float32),
+    ])
+    lng = np.concatenate([
+        rng.uniform(-149.5, -147.5, n).astype(np.float32),
+        rng.uniform(-180, 180, n).astype(np.float32),
+    ])
+    got = resolve_points(idx, lat, lng)
+    un = got == -1
+    got[un] = knn_fallback(idx, lat[un], lng[un])
+    want = oracle_assign(zones, lat, lng)
+    np.testing.assert_array_equal(got, want)

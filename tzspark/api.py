@@ -267,12 +267,12 @@ class TimezoneLookup:
         repeated downstream tile joins never reshuffle the big table.
 
         Returns the saved table's DataFrame (read back through the catalog,
-        so the bucketing metadata is live for join planning)."""
+        so the bucketing metadata is live for join planning). Storage goes
+        through the TableIO seam (tableio.py) — an Iceberg deployment swaps
+        in bucket(n, cell_id) partition transforms there."""
+        from .tableio import TableIO
+
         assigned = self.assign(spark, images_df)
-        (
-            assigned.write.mode("overwrite")
-            .bucketBy(n_buckets, "cell_id")
-            .sortBy("cell_id")
-            .saveAsTable(table_name)
+        return TableIO(spark).write_bucketed(
+            assigned, table_name, n_buckets, "cell_id"
         )
-        return spark.table(table_name)

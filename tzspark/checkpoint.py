@@ -1,9 +1,9 @@
 """Checkpoint/resume with per-partition lineage (north_rule: "resumable from
 checkpoint with per-partition lineage + metrics").
 
-The sandbox has no Iceberg jars, so the snapshot store is a thin parquet
-implementation behind the same seam a real deployment would back with
-Iceberg snapshots (SURVEY.md §7 hard part (c)): each stage writes to its own
+The sandbox has no Iceberg jars, so the snapshot store is the parquet
+TableIO (tableio.py — the explicit storage seam a real deployment backs with
+Iceberg snapshots, SURVEY.md §7 hard part (c)): each stage writes to its own
 snapshot directory with an atomic _SUCCESS marker plus a lineage manifest
 (per-partition row counts + stage metadata). Re-running a finished stage is
 a metadata no-op; re-running after a crash recomputes only missing stages.
@@ -18,54 +18,55 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _success(path: str) -> bool:
-    """A stage is done only when BOTH the parquet _SUCCESS marker and the
-    lineage manifest exist: _lineage.json is written after the parquet
-    commit, so a crash in between must re-run the stage rather than leave a
-    'done' stage whose manifest() raises forever."""
-    return os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
-        os.path.join(path, "_lineage.json")
-    )
+from .tableio import TableIO
 
 
 class SnapshotRunner:
     """Stage-level checkpointing: stage(name, fn) computes fn() only when the
-    stage snapshot is absent; always returns the snapshot-backed DataFrame."""
+    stage snapshot is absent; always returns the snapshot-backed DataFrame.
 
-    def __init__(self, spark: SparkSession, root: str):
+    All storage goes through the TableIO seam (parquet here; an Iceberg
+    deployment passes its own TableIO and gains real snapshot isolation)."""
+
+    def __init__(self, spark: SparkSession, root: str, io: TableIO = None):
         self.spark = spark
         self.root = root
+        self.io = io or TableIO(spark)
         os.makedirs(root, exist_ok=True)
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, f"stage={name}")
 
+    def _success(self, path: str) -> bool:
+        """A stage is done only when BOTH the storage commit marker and the
+        lineage manifest exist: _lineage.json is written after the commit,
+        so a crash in between must re-run the stage rather than leave a
+        'done' stage whose manifest() raises forever."""
+        return self.io.is_committed(path) and os.path.exists(
+            os.path.join(path, "_lineage.json")
+        )
+
     def stage(self, name: str, fn, partition_by: list = None) -> DataFrame:
         out = self._dir(name)
-        if not _success(out):
-            if os.path.exists(out):  # torn write from a crashed run
-                shutil.rmtree(out)
+        if not self._success(out):
+            if self.io.exists(out):  # torn write from a crashed run
+                self.io.remove(out)
             df = fn()
-            w = df.write.mode("overwrite")
-            if partition_by:
-                w = w.partitionBy(*partition_by)
             t0 = time.time()
-            w.parquet(out)
+            self.io.write_snapshot(df, out, partition_by)
             self._write_manifest(name, out, time.time() - t0)
-        return self.spark.read.parquet(out)
+        return self.io.read_snapshot(out)
 
     def _write_manifest(self, name: str, out: str, elapsed: float):
         """Per-partition lineage: (file, row_count) for every output file +
         stage metrics. Derived from the committed files themselves so the
         manifest can never disagree with the data."""
-        df = self.spark.read.parquet(out)
+        df = self.io.read_snapshot(out)
         lineage = (
             df.withColumn("_file", F.input_file_name())
             .groupBy("_file")
@@ -86,12 +87,10 @@ class SnapshotRunner:
             return json.load(f)
 
     def is_done(self, name: str) -> bool:
-        return _success(self._dir(name))
+        return self._success(self._dir(name))
 
     def invalidate(self, name: str):
-        out = self._dir(name)
-        if os.path.exists(out):
-            shutil.rmtree(out)
+        self.io.remove(self._dir(name))
 
 
 def run_resumable(
@@ -100,22 +99,25 @@ def run_resumable(
     key_col: str,
     out_dir: str,
     transform,
+    io: TableIO = None,
 ) -> DataFrame:
     """Row-level resume: transform only input rows whose key is not already
     in the output, append them, and return the full output.
 
     transform(df) must keep ``key_col`` in its output. Safe to re-run after
     any crash: the worst case is a partially-appended batch being counted as
-    done only if its files were committed (parquet task commit is atomic per
-    file; uncommitted temp files are ignored by the reader).
+    done only if its files were committed (task commit is atomic per file in
+    the parquet TableIO; per snapshot under an Iceberg TableIO — uncommitted
+    work is invisible to the reader either way).
     """
+    io = io or TableIO(spark)
     todo = input_df
-    if os.path.exists(out_dir):
+    if io.exists(out_dir):
         try:
-            done = spark.read.parquet(out_dir).select(key_col).distinct()
+            done = io.read_snapshot(out_dir).select(key_col).distinct()
             todo = input_df.join(done, key_col, "left_anti")
         except Exception:
             pass  # unreadable/empty dir -> process everything
     if todo.limit(1).count() > 0:
-        transform(todo).write.mode("append").parquet(out_dir)
-    return spark.read.parquet(out_dir)
+        io.append(transform(todo), out_dir)
+    return io.read_snapshot(out_dir)

@@ -118,7 +118,73 @@ FROM c
 
 Q24_SQL = _q24_sql()
 
-EXTRA_ORACLES = {"q24_extract_gps": Q24_SQL}
+
+def q41_full_engine_boxes(spark, sf_dir):
+    """The WHOLE fused lookup pipeline (engine.assign_timezones: header
+    extract -> validity -> resolve -> kNN -> cell encode -> tzid broadcast
+    join) under a value-level oracle. q24 proves the extract, q10/q11 the
+    PIP kernels, q12 the kNN — this runs the single-Arrow-crossing
+    lookup_udf END TO END against a DuckDB oracle composed from the same
+    pieces (splitmix64 coord synthesis + f32 half-open containment argmin +
+    clamp-distance kNN + cell arithmetic), over the 25 nation boxes where
+    rectangle PIP is exactly SQL-expressible. Per-image output (not a
+    rollup) so any row-level drift hash-fails."""
+    from .engine import assign_timezones, zone_dim_df
+    from .queries_geo import box_zones
+
+    zones = box_zones(spark, sf_dir)
+    from .cells import compile_cover
+
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    idx_b = spark.sparkContext.broadcast(idx)
+    dim = zone_dim_df(spark, zones)
+    a = assign_timezones(_images(spark, sf_dir), idx_b, dim, max_res=7)
+    return a.select(
+        "image_id", "lat", "lng", "zone_id", "via_knn", "cell_id", "tzid"
+    )
+
+
+def _q41_sql() -> str:
+    from .cells import cell_id_sql
+    from .queries_geo import BOXES_SQL, _CONTAIN_F32
+
+    # the containment/knn predicates are written against p.lat/p.lng; the
+    # coords CTE yields FLOAT columns already, so CAST(p.lat AS FLOAT) is a
+    # no-op there — kept identical to the proven Q10/Q12 text.
+    return f"""
+WITH coords AS (SELECT image_id, lat, lng FROM ({Q24_SQL})),
+boxes AS ({BOXES_SQL}),
+res AS (
+  SELECT p.image_id, p.lat, p.lng,
+         MIN(CASE WHEN {_CONTAIN_F32} THEN b.zone_id END) AS rz
+  FROM coords p CROSS JOIN boxes b
+  GROUP BY p.image_id, p.lat, p.lng
+),
+knn AS (
+  SELECT p.image_id, b.zone_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.image_id
+           ORDER BY POWER(GREATEST(b.min_lat - CAST(p.lat AS FLOAT), CAST(p.lat AS FLOAT) - b.max_lat, 0), 2)
+                  + POWER(GREATEST(b.min_lng - CAST(p.lng AS FLOAT), CAST(p.lng AS FLOAT) - b.max_lng, 0), 2),
+                    b.zone_id) AS rn
+  FROM res p CROSS JOIN boxes b WHERE p.rz IS NULL
+),
+final AS (
+  SELECT r.image_id, r.lat, r.lng,
+         CAST(COALESCE(r.rz, k.zone_id) AS INTEGER) AS zone_id,
+         r.rz IS NULL AS via_knn
+  FROM res r
+  LEFT JOIN (SELECT image_id, zone_id FROM knn WHERE rn = 1) k USING (image_id)
+)
+SELECT f.image_id, f.lat, f.lng, f.zone_id, f.via_knn,
+       {cell_id_sql('f.lat', 'f.lng', 7)} AS cell_id, b.tzid
+FROM final f JOIN boxes b ON f.zone_id = b.zone_id
+"""
+
+
+Q41_SQL = _q41_sql()
+
+EXTRA_ORACLES = {"q24_extract_gps": Q24_SQL, "q41_full_engine_boxes": Q41_SQL}
 
 
 def q25_psnr_invariant(spark, sf_dir):
@@ -263,6 +329,7 @@ def q31_stream_assign(spark, sf_dir):
 
 EXTRA_QUERIES = {
     "q24_extract_gps": q24_extract_gps,
+    "q41_full_engine_boxes": q41_full_engine_boxes,
     "q25_psnr_invariant": q25_psnr_invariant,
     "q26_tile_raster": q26_tile_raster,
     "q27_full_engine_synthetic": q27_full_engine_synthetic,

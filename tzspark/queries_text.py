@@ -826,51 +826,79 @@ FROM d2 GROUP BY lang
 # --- near-dup clustering (connected components over candidate pairs) --------
 
 
+def min_label_cc(edges, max_rounds: int = 32):
+    """Connected components by min-label propagation WITH pointer jumping.
+
+    edges(src, dst) must be symmetric. Each round computes, per node,
+    least(own label, min neighbor label, label-of-own-label) — the last term
+    is the pointer jump (labels join labels on canon == doc), which contracts
+    label-to-minimum distance geometrically instead of linearly: a length-L
+    chain converges in O(log L) rounds where plain propagation needs L
+    (asserted on a chain fixture in tests/test_cc_rounds.py). Labels only
+    ever decrease, so the fixpoint is exactly min(reachable node id) — the
+    same result as plain propagation, just fewer rounds.
+
+    One Spark job per round: the `_chg` flag is computed INSIDE the label
+    update and materialized by the same eager localCheckpoint (which also
+    truncates the iterative lineage); the convergence read is then a near-
+    free aggregate over the checkpointed (tiny) label table instead of the
+    old separate new-vs-old join job.
+
+    Returns (labels DataFrame(doc_id, canon_id), rounds_run).
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("canon_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        nb = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(edges["dst"].alias("doc_id"))
+            .agg(F.min("canon_id").alias("nb_min"))
+        )
+        jmp = labels.select(
+            F.col("doc_id").alias("canon_id"), F.col("canon_id").alias("jump_min")
+        )
+        upd = F.least(
+            F.col("canon_id"),
+            F.coalesce(F.col("nb_min"), F.col("canon_id")),
+            F.coalesce(F.col("jump_min"), F.col("canon_id")),
+        )
+        new = (
+            labels.join(jmp, "canon_id", "left")
+            .join(nb, "doc_id", "left")
+            .select(
+                "doc_id",
+                upd.alias("new_canon"),
+                (upd < F.col("canon_id")).alias("_chg"),
+            )
+            .withColumnRenamed("new_canon", "canon_id")
+            .localCheckpoint()  # ONE job: update + chg flag + lineage cut
+        )
+        changed = new.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
+        labels = new.drop("_chg")
+        if changed == 0:
+            break
+    return labels, rounds
+
+
 def q37_near_dup_clusters(spark, sf_dir):
     """Connected-components clustering of the MinHash-LSH candidate pairs
-    (q15): iterative min-label propagation to a fixpoint — the standard
-    large-graph CC shape (hash-partitioned join per round, O(log diameter)
-    rounds, lineage truncated per round), then canonical doc = min doc_id in
-    the component. This is the step a dedup pipeline runs AFTER pair
-    generation: each near-dup cluster keeps one representative.
+    (q15): min-label propagation + pointer jumping to a fixpoint (see
+    min_label_cc — O(log diameter) rounds, one job per round), then
+    canonical doc = min doc_id in the component. This is the step a dedup
+    pipeline runs AFTER pair generation: each near-dup cluster keeps one
+    representative.
     """
     pairs = q15_minhash_lsh(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionAll(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
-    labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("canon_id", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(32):  # log2(diameter) in practice; hard cap as a backstop
-        nb = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy(edges["dst"].alias("doc_id"))
-            .agg(F.min("canon_id").alias("nb_min"))
-        )
-        new = (
-            labels.alias("l")
-            .join(nb.alias("n"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("l.canon_id"), F.coalesce(F.col("n.nb_min"), F.col("l.canon_id"))
-                ).alias("canon_id"),
-            )
-            .localCheckpoint()  # truncate the iterative lineage
-        )
-        changed = (
-            new.alias("a")
-            .join(labels.alias("b"), "doc_id")
-            .where(F.col("a.canon_id") != F.col("b.canon_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+    labels, _rounds = min_label_cc(edges)
     sizes = labels.groupBy("canon_id").agg(F.count("*").alias("cluster_n"))
     return labels.join(sizes, "canon_id").select("doc_id", "canon_id", "cluster_n")
 

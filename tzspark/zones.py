@@ -190,6 +190,39 @@ def make_world_zones(
     return zones
 
 
+def make_world_zones_skewed(
+    n_coastlines: int = 6, coast_verts: int = 20000, **world_kw
+) -> list:
+    """make_world_zones + a few REFERENCE-SHAPED coastline rows: the real
+    timezone-boundary-builder set is not uniform — its largest zones are
+    coastline polygons with ~20k vertices each (/root/reference/README.md:9;
+    the reference mmaps them, timezone.go:192). This variant appends
+    n_coastlines zones whose west edge is a coast_verts-vertex sinusoid
+    spanning 8 deg of latitude, so ONE zone's edge table is 100x the median —
+    the skew the cover compiler's chunking (cells._zone_cover) and the
+    boundary-candidate pruning must absorb (pinned in tests/test_world_scale
+    and BASELINE.md)."""
+    zones = make_world_zones(**world_kw)
+    zid = len(zones)
+    for k in range(n_coastlines):
+        # spread along the equator band, away from the -60 grid origin rows
+        lat0 = -4.0 + 10.0 * (k % 3)
+        lng0 = -150.0 + 50.0 * k
+        t = np.linspace(0.0, 1.0, coast_verts, dtype=np.float64)
+        west_lat = lat0 + 8.0 * t
+        west_lng = (lng0 + 1.0) + 0.9 * np.sin(2.0 * np.pi * (24.0 + k) * t)
+        ring_lat = np.concatenate([[lat0], [lat0], [lat0 + 8.0], [lat0 + 8.0],
+                                   west_lat[::-1]])
+        ring_lng = np.concatenate([[lng0 + 2.0], [lng0 + 8.0], [lng0 + 8.0],
+                                   [lng0 + 2.0], west_lng[::-1]])
+        zones.append(
+            Zone(zid, f"World/Coast_{k:02d}", ring_lat.astype(F32),
+                 ring_lng.astype(F32))
+        )
+        zid += 1
+    return zones
+
+
 def oracle_resolve(zones: list, lat, lng):
     """Golden resolver, independent of the cell cover: full-ring float32 PIP
     against EVERY zone, argmin(zone_id) over containing zones, -1 if none.
