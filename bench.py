@@ -84,7 +84,11 @@ def headline_queries(spark, images):
         tile_rollup_fused,
         zone_dim_df,
     )
-    from tzspark.queries_geo import q05_knn_fallback, q11_resolve_cover
+    from tzspark.queries_geo import (
+        q05_knn_fallback,
+        q11_resolve_cover,
+        q39_resolve_join,
+    )
     from tzspark.queries_text import q14_ngram_jaccard, q21_ann_bruteforce
     from tzspark.zones import make_world_zones, make_zones
 
@@ -124,6 +128,7 @@ def headline_queries(spark, images):
         "tile_rollup": lambda: tile_rollup_fused(images),
         "salted_tile_counts": lambda: salted_tile_counts(_assigned()),
         "resolve_cover_events": lambda: q11_resolve_cover(spark, SF_DIR),
+        "resolve_join_events": lambda: q39_resolve_join(spark, SF_DIR),
         "knn_fallback_events": lambda: q05_knn_fallback(spark, SF_DIR),
         "ngram_jaccard_docs": lambda: q14_ngram_jaccard(spark, SF_DIR),
         "ann_bruteforce": lambda: q21_ann_bruteforce(spark, SF_DIR),

@@ -144,6 +144,22 @@ def q41_full_engine_boxes(spark, sf_dir):
     )
 
 
+def q42_full_engine_boxes_join(spark, sf_dir):
+    """q41's pipeline on the BROADCAST-FREE physical strategy: the facade's
+    assign_join (GPS extract -> quarantine -> cover-as-table cell-id
+    equi-joins -> kNN join -> tzid attach) must produce the exact same
+    per-image rows — same composed DuckDB oracle as q41, so both physical
+    strategies of the lookup are value-pinned end to end."""
+    from .api import TimezoneLookup
+    from .queries_geo import box_zones
+
+    tl = TimezoneLookup(box_zones(spark, sf_dir), base_res=3, max_res=7)
+    a = tl.assign_join(spark, _images(spark, sf_dir))
+    return a.select(
+        "image_id", "lat", "lng", "zone_id", "via_knn", "cell_id", "tzid"
+    )
+
+
 def _q41_sql() -> str:
     from .cells import cell_id_sql
     from .queries_geo import BOXES_SQL, _CONTAIN_F32
@@ -184,7 +200,11 @@ FROM final f JOIN boxes b ON f.zone_id = b.zone_id
 
 Q41_SQL = _q41_sql()
 
-EXTRA_ORACLES = {"q24_extract_gps": Q24_SQL, "q41_full_engine_boxes": Q41_SQL}
+EXTRA_ORACLES = {
+    "q24_extract_gps": Q24_SQL,
+    "q41_full_engine_boxes": Q41_SQL,
+    "q42_full_engine_boxes_join": Q41_SQL,
+}
 
 
 def q25_psnr_invariant(spark, sf_dir):
@@ -330,6 +350,7 @@ def q31_stream_assign(spark, sf_dir):
 EXTRA_QUERIES = {
     "q24_extract_gps": q24_extract_gps,
     "q41_full_engine_boxes": q41_full_engine_boxes,
+    "q42_full_engine_boxes_join": q42_full_engine_boxes_join,
     "q25_psnr_invariant": q25_psnr_invariant,
     "q26_tile_raster": q26_tile_raster,
     "q27_full_engine_synthetic": q27_full_engine_synthetic,
