@@ -110,3 +110,35 @@ def test_spark_distributed_compile_identical(spark):
     a = compile_cover(zones)
     b = compile_cover_spark(spark, zones)
     assert pickle.dumps(a) == pickle.dumps(b)
+
+
+def test_bucketed_cover_boundary_join_no_shuffle(spark, assigned):
+    """The zone-table-update scenario at 10^12 rows: the points table is
+    already bucketed on cell_id (assign_bucketed output); a NEW compiled
+    cover's boundary table, bucketed the same way through the TableIO seam,
+    joins it with ZERO Exchange — re-resolving after a zone change never
+    reshuffles the big table."""
+    from tzspark.cells import compile_cover
+    from tzspark.covertable import CoverTables
+    from tzspark.tableio import TableIO
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    io = TableIO(spark)
+    try:
+        pts = io.write_bucketed(
+            assigned.select("image_id", "lat", "lng", "cell_id"),
+            "t_pts_bucketed", 8, "cell_id",
+        )
+        cov = CoverTables.from_index(
+            spark, compile_cover(make_zones(n_coast=500))
+        )
+        bnd = io.write_bucketed(cov.boundary, "t_cover_boundary", 8, "cell_id")
+        j = pts.join(bnd, "cell_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+        assert j.count() > 0  # some points do land in boundary cells
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in ("t_pts_bucketed", "t_cover_boundary"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

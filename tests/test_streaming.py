@@ -113,3 +113,45 @@ def test_stream_dedup_within_watermark(spark, image_dir, tmp_path):
     run_available_now(deduped, str(tmp_path / "ckptw"), "dedup_wm_out")
     out = spark.table("dedup_wm_out").toPandas()
     assert len(out) == N and out["image_id"].nunique() == N
+
+
+def test_stream_assign_join_equals_batch(spark, tmp_path):
+    """The broadcast-free join lookup, run as a foreachBatch stream over the
+    same files, equals the batch assign_via_join row for row."""
+    from tzspark.cells import compile_cover
+    from tzspark.covertable import CoverTables, assign_images_via_join
+    from tzspark.datasets import images_from_events
+    from tzspark.queries_geo import box_zones
+    from tzspark.streaming import read_image_stream, stream_assign_join
+
+    sf = "/root/testdata/sf0.001"
+    imgs = images_from_events(spark, sf)
+    src = str(tmp_path / "images")
+    imgs.write.mode("overwrite").parquet(src)
+    cov = CoverTables.from_index(
+        spark, compile_cover(box_zones(spark, sf), base_res=3, max_res=7)
+    )
+    out = str(tmp_path / "out")
+    stream_assign_join(
+        read_image_stream(spark, src, per_trigger_files=3),
+        cov,
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    got = (
+        spark.read.parquet(out)
+        .select("image_id", "zone_id", "via_knn")
+        .toPandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    want = (
+        assign_images_via_join(imgs, cov)
+        .select("image_id", "zone_id", "via_knn")
+        .toPandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    assert len(got) == len(want)
+    assert (got["zone_id"] == want["zone_id"]).all()
+    assert (got["via_knn"] == want["via_knn"]).all()

@@ -230,29 +230,12 @@ class TimezoneLookup:
         """
         from pyspark.sql import functions as F
 
-        from .covertable import assign_via_join
-        from .engine import extract_gps_udf, gps_header_col, zone_dim_df
-        from .cells import cell_id_col
+        from .covertable import assign_images_via_join
+        from .engine import zone_dim_df
 
         cov = self.cover_tables(spark, cache_dir)
         dim = zone_dim_df(spark, self.zones)
-        g = images_df.withColumn(
-            "g", extract_gps_udf()(gps_header_col(F.col("bytes")))
-        )
-        pts = g.select(
-            "*",
-            F.col("g.lat").alias("lat"),
-            F.col("g.lng").alias("lng"),
-            (
-                ~F.col("g.gps_ok")
-                | ~F.col("g.lat").between(-90.0, 90.0)
-                | ~F.col("g.lng").between(-180.0, 180.0)
-            ).alias("quarantined"),
-        ).drop("g")
-        ok = pts.where(~F.col("quarantined")).withColumn(
-            "cell_id", cell_id_col(F.col("lat"), F.col("lng"), self.max_res)
-        )
-        assigned = assign_via_join(ok, "image_id", cov)
+        assigned = assign_images_via_join(images_df, cov)
         return assigned.join(
             F.broadcast(dim.select("zone_id", "tzid")), "zone_id", "left"
         )

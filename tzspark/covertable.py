@@ -387,3 +387,31 @@ def assign_via_join(
         "via_knn", F.lit(True)
     )
     return matched.unionByName(k)
+
+
+def assign_images_via_join(
+    images: DataFrame, cover: CoverTables, key_col: str = "image_id"
+) -> DataFrame:
+    """The image-table front half + the join assignment: GPS extract (header
+    bytes only cross into Python), quarantine (bad blob OR out-of-domain
+    coords), cell encode, then assign_via_join. Mirrors
+    engine.assign_timezones' row semantics with zero broadcasts; used by
+    api.TimezoneLookup.assign_join (batch) and streaming.stream_assign_join
+    (per micro-batch)."""
+    from .engine import extract_gps_udf, gps_header_col
+
+    g = images.withColumn("g", extract_gps_udf()(gps_header_col(F.col("bytes"))))
+    pts = g.select(
+        "*",
+        F.col("g.lat").alias("lat"),
+        F.col("g.lng").alias("lng"),
+        (
+            ~F.col("g.gps_ok")
+            | ~F.col("g.lat").between(-90.0, 90.0)
+            | ~F.col("g.lng").between(-180.0, 180.0)
+        ).alias("quarantined"),
+    ).drop("g")
+    ok = pts.where(~F.col("quarantined")).withColumn(
+        "cell_id", cell_id_col(F.col("lat"), F.col("lng"), cover.max_res)
+    )
+    return assign_via_join(ok, key_col, cover)

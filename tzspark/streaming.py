@@ -42,6 +42,48 @@ def stream_assign(images_stream: DataFrame, idx_bcast, zone_dim: DataFrame) -> D
     return assign_timezones(images_stream, idx_bcast, zone_dim)
 
 
+def stream_assign_join(
+    images_stream: DataFrame,
+    cover,
+    out_path: str,
+    checkpoint_dir: str,
+    key_col: str = "image_id",
+):
+    """The BROADCAST-FREE lookup (covertable.assign_via_join) on a stream.
+
+    assign_via_join is a multi-join + per-key aggregation plan — as a direct
+    streaming query that would mean unbounded aggregation state, but per
+    micro-batch every key is complete, so the idiomatic form is foreachBatch:
+    each trigger's batch runs the exact BATCH join pipeline (same code, same
+    semantics, pinned in tests/test_streaming.py) and appends to the sink;
+    checkpointLocation gives exactly-once across restarts (a replayed batch
+    id overwrites rather than duplicates under the default parquet sink
+    contract... foreachBatch requires the writer itself to be idempotent, so
+    the writer partitions by batch_id and overwrites that partition).
+
+    Returns the started StreamingQuery (AvailableNow trigger — drain + stop).
+    """
+    from .covertable import assign_images_via_join
+
+    def _process(batch_df: DataFrame, batch_id: int):
+        out = assign_images_via_join(batch_df, cover, key_col).withColumn(
+            "_batch_id", F.lit(batch_id)
+        )
+        # idempotent replay: a re-delivered batch replaces its own partition
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_batch_id").parquet(out_path)
+
+    q = (
+        images_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def stream_tile_counts(
     assigned_stream: DataFrame,
     ts_col: str = "event_ts",
