@@ -107,3 +107,39 @@ def test_full_assignment_no_unmatched(zones, idx):
     want = oracle_assign(zones, lat, lng)
     np.testing.assert_array_equal(zid, want)
     assert (zid >= 0).all()
+
+
+def test_knn_table_hierarchical_equals_dense():
+    """The level-by-level kNN table refinement must equal the dense
+    (every cell x every zone) construction exactly — the containment
+    argument (child candidates are a subset of the parent's) is load-bearing
+    for kNN exactness, so pin it against a brute-force reference."""
+    import numpy as np
+
+    from tzspark.cells import _cell_rects, _compile_knn_table
+
+    rng = np.random.default_rng(41)
+    nz, res = 150, 5
+    lat0 = rng.uniform(-80, 70, nz)
+    lng0 = rng.uniform(-170, 150, nz)
+    bbox = np.stack(
+        [lat0, lng0, lat0 + rng.uniform(0.5, 15, nz), lng0 + rng.uniform(0.5, 15, nz)],
+        axis=1,
+    ).astype(np.float32)
+    off, zidx = _compile_knn_table(bbox, res)
+
+    # dense reference, straight from the definition
+    n = 1 << res
+    c_lat0, c_lng0, c_lat1, c_lng1 = _cell_rects(n)
+    z = bbox.astype(np.float64)
+    gl = np.maximum(np.maximum(z[None, :, 0] - c_lat1[:, None], c_lat0[:, None] - z[None, :, 2]), 0)
+    gg = np.maximum(np.maximum(z[None, :, 1] - c_lng1[:, None], c_lng0[:, None] - z[None, :, 3]), 0)
+    d_min = gl * gl + gg * gg
+    fl = np.maximum(np.maximum(z[None, :, 0] - c_lat0[:, None], c_lat1[:, None] - z[None, :, 2]), 0)
+    fg = np.maximum(np.maximum(z[None, :, 1] - c_lng0[:, None], c_lng1[:, None] - z[None, :, 3]), 0)
+    d_max = fl * fl + fg * fg
+    keep = d_min <= d_max.min(axis=1)[:, None]
+    want_off = np.concatenate([[0], np.cumsum(keep.sum(axis=1))])
+    want_zidx = np.concatenate([np.flatnonzero(k) for k in keep])
+    np.testing.assert_array_equal(off, want_off)
+    np.testing.assert_array_equal(zidx, want_zidx.astype(np.int32))
