@@ -119,11 +119,26 @@ def headline_queries(spark, images):
             F.sum(F.col("via_knn").cast("long")).alias("n_via_knn"),
         )
 
+    # the broadcast-FREE path at the same reference operating point: cover
+    # persisted as parquet tables (one-off, content-hash cached), lookup is
+    # cell-id equi-joins — the apples-to-apples row against
+    # lookup_world_zones for the zone-sets-past-the-broadcast-budget regime
+    def _world_lookup_join():
+        from pyspark.sql import functions as F
+
+        return tl_world.assign_join(
+            spark, images, cache_dir=os.path.join(CACHE, "covers")
+        ).groupBy("tzid").agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("via_knn").cast("long")).alias("n_via_knn"),
+        )
+
     from tzspark.engine import lookup_tile_onepass
 
     return {
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
+        "world_lookup_join": _world_lookup_join,
         "onepass_lookup_tile": lambda: lookup_tile_onepass(images, idx_b),
         "tile_rollup": lambda: tile_rollup_fused(images),
         "salted_tile_counts": lambda: salted_tile_counts(_assigned()),
@@ -195,6 +210,7 @@ def bench_main():
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "8000000"))
 COMPUTE_ROWS = int(os.environ.get("SPARK_GRAFT_COMPUTE_ROWS", "96000000"))
 WORLD_ROWS = int(os.environ.get("SPARK_GRAFT_WORLD_ROWS", "64000000"))
+JOIN_ROWS = int(os.environ.get("SPARK_GRAFT_JOIN_ROWS", "16000000"))
 
 
 def compute_job_df(spark, n_rows: int, n_parts: int = 256):
@@ -373,6 +389,51 @@ def single_world_run(cpus: int):
     spark.stop()
 
 
+def single_join_run(cpus: int):
+    """Child mode for --scaling: the BROADCAST-FREE lookup (covertable
+    assign_via_join) against the reference-scale cover persisted as parquet
+    tables — the round-3 flagship path for zone sets past the broadcast
+    budget. Unlike the broadcast rows this one SHUFFLES (cell-id equi-joins),
+    so its single-box N-vs-4N ratio also carries the local shuffle service's
+    fixed costs; on a real cluster the exchange is network-parallel."""
+    from pyspark.sql import functions as F
+
+    from tzspark.api import TimezoneLookup
+    from tzspark.covertable import assign_via_join
+    from tzspark.engine import get_spark
+    from tzspark.zones import make_world_zones
+
+    spark = get_spark(
+        app=f"tzspark-join-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "65536"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tl = TimezoneLookup(make_world_zones(), cache_dir=os.path.join(CACHE, "covers"))
+    cov = tl.cover_tables(spark, cache_dir=os.path.join(CACHE, "covers"))
+    n_rows = JOIN_ROWS
+    pts = spark.range(0, n_rows, 1, max(n_rows // 250_000, cpus)).select(
+        F.col("id").alias("k"),
+        ((F.pmod(F.col("id") * 7919, F.lit(120000)) / 1000.0) - 60.0)
+        .cast("float").alias("lat"),
+        ((F.pmod(F.col("id") * 104729, F.lit(360000)) / 1000.0) - 180.0)
+        .cast("float").alias("lng"),
+    )
+    df = assign_via_join(pts, "k", cov).groupBy("zone_id").count()
+    for _ in range(3):
+        materialize(df)
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        materialize(df)
+        times.append(time.time() - t0)
+    dt = sorted(times)[2]
+    print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
+                      "rows_sec": round(n_rows / dt, 1),
+                      "all_secs": [round(t, 3) for t in times]}))
+    spark.stop()
+
+
 def single_run(cpus: int):
     """Child mode for --scaling: time the full engine — per-zone lookup
     rollup AND per-tile raster stats over the payload table, computed by the
@@ -428,6 +489,7 @@ def scaling_main():
     for mode, flag, rows in (
         ("lookup_compute", "--single-compute-run", COMPUTE_ROWS),
         ("lookup_world_index", "--single-world-run", WORLD_ROWS),
+        ("lookup_join_broadcast_free", "--single-join-run", JOIN_ROWS),
         ("full_pipeline", "--single-run", SCALING_ROWS),
         ("transfer_ceiling_noop", "--single-noop-run", SCALING_ROWS),
     ):
@@ -457,6 +519,8 @@ if __name__ == "__main__":
         single_noop_run(int(sys.argv[sys.argv.index("--single-noop-run") + 1]))
     elif "--single-world-run" in sys.argv:
         single_world_run(int(sys.argv[sys.argv.index("--single-world-run") + 1]))
+    elif "--single-join-run" in sys.argv:
+        single_join_run(int(sys.argv[sys.argv.index("--single-join-run") + 1]))
     elif "--single-run" in sys.argv:
         single_run(int(sys.argv[sys.argv.index("--single-run") + 1]))
     else:
