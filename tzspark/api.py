@@ -100,6 +100,38 @@ class TimezoneLookup:
             return idx
         return compile_cover(self.zones, self.base_res, self.max_res)
 
+    # -- incremental maintenance (store Delete/Replace — rtree R5/R6) -------
+    # CSR splicing on the live compiled index (cells.delete_zone/add_zone),
+    # byte-identical to a recompile over the updated zone list; self.zones
+    # is updated too, so _content_key re-keys every cover cache correctly.
+
+    def delete_zone(self, zone_id: int) -> "TimezoneLookup":
+        from .cells import delete_zone
+
+        self.idx = delete_zone(self.idx, zone_id)  # raises before any mutation
+        self.zones = [z for z in self.zones if z.zone_id != zone_id]
+        self._tz_by_id.pop(int(zone_id), None)
+        return self
+
+    def add_zone(self, zone: Zone) -> "TimezoneLookup":
+        from .cells import add_zone
+
+        self.idx = add_zone(self.idx, zone)
+        self.zones = sorted(self.zones + [zone], key=lambda z: z.zone_id)
+        self._tz_by_id[int(zone.zone_id)] = zone.tzid
+        return self
+
+    def replace_zone(self, zone: Zone) -> "TimezoneLookup":
+        from .cells import replace_zone
+
+        self.idx = replace_zone(self.idx, zone)
+        self.zones = sorted(
+            [z for z in self.zones if z.zone_id != zone.zone_id] + [zone],
+            key=lambda z: z.zone_id,
+        )
+        self._tz_by_id[int(zone.zone_id)] = zone.tzid
+        return self
+
     # -- save / load (S6/S8: parquet instead of the custom binary format) ---
 
     def save(self, path: str):

@@ -54,7 +54,7 @@ _MATERIALIZE_MAX = 3_000_000  # duplicated edge rows above this -> index form
 # CompiledIndex gains/changes compiled structures so stale cached pickles
 # (e.g. pre-kNN-table, which would silently fall back to the brute path)
 # can never be loaded against newer code.
-INDEX_FORMAT_VERSION = 4
+INDEX_FORMAT_VERSION = 5  # v5: zone_edge_off spans + b_edge_idx always kept
 
 
 def cell_rowcol(lat, lng, res: int):
@@ -183,11 +183,15 @@ class CompiledIndex:
     b_ea_lng: np.ndarray = None
     b_eb_lat: np.ndarray = None
     b_eb_lng: np.ndarray = None
-    b_edge_idx: np.ndarray = None  # int32, set iff b_e* are None
+    b_edge_idx: np.ndarray = None  # int32 global edge indices (always kept)
     ea_lat: np.ndarray = None  # global flat edge arrays (float32)
     ea_lng: np.ndarray = None
     eb_lat: np.ndarray = None
     eb_lng: np.ndarray = None
+    # per-zone spans into the global edge arrays ((Z+1,) int64) — retained so
+    # delete_zone/add_zone/replace_zone can splice one zone in or out without
+    # recompiling anything else (the reference store's Delete/Replace, R5/R6)
+    zone_edge_off: np.ndarray = None
     # coarse-cell kNN candidate table (exact pruning; see _compile_knn_table)
     knn_res: int = None
     knn_off: np.ndarray = None  # ((1<<knn_res)^2 + 1,) int64 CSR
@@ -647,36 +651,10 @@ def compile_cover(
     edge_idx = (
         np.concatenate(edge_idx_parts) if edge_idx_parts else np.empty(0, np.int64)
     )
-    if edge_idx.shape[0] <= _MATERIALIZE_MAX:
-        idx.b_ea_lat = ea_lat[edge_idx]
-        idx.b_ea_lng = ea_lng[edge_idx]
-        idx.b_eb_lat = eb_lat[edge_idx]
-        idx.b_eb_lng = eb_lng[edge_idx]
-    else:
-        idx.b_edge_idx = edge_idx.astype(np.int32)
-
+    idx.zone_edge_off = zone_edge_base
+    _set_boundary_edges(idx, edge_idx)
     idx.knn_res = DEFAULT_KNN_RES
-    idx.knn_off, idx.knn_zidx = _compile_knn_table(zone_bbox, DEFAULT_KNN_RES)
-    # the pruned path's reduceat assumes every coarse cell keeps >=1 candidate
-    # (true by construction: keep includes each cell's d_max argmin zone);
-    # make the invariant explicit so a compile regression fails loudly here
-    # instead of silently mis-resolving in knn_fallback
-    if len(zones):
-        assert (np.diff(idx.knn_off) > 0).all(), "empty kNN candidate cell"
-
-    n_full = {r: len(v[0]) for r, v in idx.full.items()}
-    idx.stats = {
-        "zones": len(zones),
-        "edges": int(ea_lat.shape[0]),
-        "interior_cells": n_full,
-        "boundary_cells": int(len(b_cells)),
-        "boundary_candidates": int(len(b_zone)),
-        "max_candidates_per_cell": int(np.diff(idx.b_off).max()) if len(b_cells) else 0,
-        "mean_edges_per_candidate": float(np.diff(idx.b_edge_off).mean())
-        if len(b_zone)
-        else 0.0,
-    }
-    return idx
+    return _finalize_index(idx)
 
 
 def compile_cover_spark(
@@ -709,6 +687,244 @@ def compile_cover_spark(
     by_zidx = dict(pairs)
     covers = [by_zidx[zidx] for zidx in live]
     return compile_cover(zones_sorted, base_res, max_res, _covers=covers)
+
+
+def _set_boundary_edges(idx: CompiledIndex, edge_idx: np.ndarray) -> None:
+    """Store boundary edge subsets from a global edge-index array.
+
+    The int32 index form is ALWAYS kept (it is what makes in-place zone
+    updates exact — delete/add rewrite indices, they never re-derive them);
+    below _MATERIALIZE_MAX duplicated rows the contiguous float32 streams
+    are ADDITIONALLY materialized for the sequential probe fast path (the
+    same policy compile_cover has always applied)."""
+    idx.b_edge_idx = edge_idx.astype(np.int32)
+    if edge_idx.shape[0] <= _MATERIALIZE_MAX:
+        idx.b_ea_lat = idx.ea_lat[edge_idx]
+        idx.b_ea_lng = idx.ea_lng[edge_idx]
+        idx.b_eb_lat = idx.eb_lat[edge_idx]
+        idx.b_eb_lng = idx.eb_lng[edge_idx]
+    else:
+        idx.b_ea_lat = idx.b_ea_lng = None
+        idx.b_eb_lat = idx.b_eb_lng = None
+
+
+def _finalize_index(idx: CompiledIndex) -> CompiledIndex:
+    """kNN candidate table + stats — the shared tail of compile_cover and the
+    incremental update paths (same formulas => identical index bytes)."""
+    idx.knn_off, idx.knn_zidx = _compile_knn_table(idx.zone_bbox, idx.knn_res)
+    # the pruned path's reduceat assumes every coarse cell keeps >=1 candidate
+    # (true by construction: keep includes each cell's d_max argmin zone);
+    # make the invariant explicit so a compile regression fails loudly here
+    # instead of silently mis-resolving in knn_fallback
+    if len(idx.zone_ids):
+        assert (np.diff(idx.knn_off) > 0).all(), "empty kNN candidate cell"
+    n_full = {r: len(v[0]) for r, v in idx.full.items()}
+    idx.stats = {
+        "zones": len(idx.zone_ids),
+        "edges": int(idx.ea_lat.shape[0]),
+        "interior_cells": n_full,
+        "boundary_cells": int(len(idx.b_cells)),
+        "boundary_candidates": int(len(idx.b_zone)),
+        "max_candidates_per_cell": int(np.diff(idx.b_off).max())
+        if len(idx.b_cells)
+        else 0,
+        "mean_edges_per_candidate": float(np.diff(idx.b_edge_off).mean())
+        if len(idx.b_zone)
+        else 0.0,
+    }
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance — the engine mapping of the reference's
+# store Delete/Replace (rtree R5/R6; timezone.go's static build never needs
+# them, but the store API exposes them): zones are independent in the cover,
+# so one zone can be cut out of / merged into every CSR structure without
+# touching any other zone's geometry work. Results are BYTE-IDENTICAL to a
+# fresh compile_cover over the updated zone list (tests/test_index_update.py)
+# — only the kNN candidate table is recompiled from the (Z,4) bbox array,
+# because its pruning is not reversible (a deleted zone may have justified
+# dropping another cell candidate); that step is O(Z · coarse cells) with no
+# polygon geometry.
+# ---------------------------------------------------------------------------
+
+
+def delete_zone(idx: CompiledIndex, zone_id: int) -> CompiledIndex:
+    """A new CompiledIndex with ``zone_id`` removed (input left untouched —
+    it may be live in a broadcast). O(index size), no cover recompute."""
+    if idx.b_edge_idx is None or idx.zone_edge_off is None:
+        raise ValueError(
+            "index predates INDEX_FORMAT_VERSION 5 (no edge-index/span "
+            "arrays) — recompile before incremental updates"
+        )
+    pos = int(np.searchsorted(idx.zone_ids, zone_id))
+    if pos >= len(idx.zone_ids) or idx.zone_ids[pos] != zone_id:
+        raise KeyError(f"zone_id {zone_id} not in index")
+
+    out = CompiledIndex(
+        base_res=idx.base_res,
+        max_res=idx.max_res,
+        zone_ids=np.delete(idx.zone_ids, pos),
+        tzids=idx.tzids[:pos] + idx.tzids[pos + 1 :],
+        zone_bbox=np.delete(idx.zone_bbox, pos, axis=0),
+    )
+    # global edge blob: cut the zone's contiguous span, shift later spans
+    zeo = idx.zone_edge_off
+    s0, s1 = int(zeo[pos]), int(zeo[pos + 1])
+    cut = s1 - s0
+    keep_e = np.ones(idx.ea_lat.shape[0], bool)
+    keep_e[s0:s1] = False
+    out.ea_lat = idx.ea_lat[keep_e]
+    out.ea_lng = idx.ea_lng[keep_e]
+    out.eb_lat = idx.eb_lat[keep_e]
+    out.eb_lng = idx.eb_lng[keep_e]
+    out.zone_edge_off = np.concatenate([zeo[: pos + 1], zeo[pos + 2 :] - cut])
+
+    # full-claim CSR per resolution: drop the zone's entries, renumber zidx,
+    # drop cells whose claim list became empty
+    for r, (cells, off, zl) in idx.full.items():
+        if len(cells) == 0:
+            out.full[r] = (cells.copy(), off.copy(), zl.copy())
+            continue
+        counts = np.diff(off)
+        cell_per = np.repeat(np.arange(len(cells), dtype=np.int64), counts)
+        m = zl != pos
+        new_counts = np.bincount(cell_per[m], minlength=len(cells))
+        zl2 = zl[m].astype(np.int64)
+        zl2[zl2 > pos] -= 1
+        kc = new_counts > 0
+        out.full[r] = (
+            cells[kc],
+            np.concatenate([[0], np.cumsum(new_counts[kc])]).astype(np.int64),
+            zl2.astype(np.int32),
+        )
+
+    # boundary CSR: drop the zone's candidates and their edge subsets
+    cnt = np.diff(idx.b_off)
+    cand_cell = np.repeat(np.arange(len(idx.b_cells), dtype=np.int64), cnt)
+    mk = idx.b_zone != pos
+    e_cnt = np.diff(idx.b_edge_off)
+    new_cnt = np.bincount(cand_cell[mk], minlength=len(idx.b_cells))
+    kc = new_cnt > 0
+    out.b_cells = idx.b_cells[kc]
+    out.b_off = np.concatenate([[0], np.cumsum(new_cnt[kc])]).astype(np.int64)
+    bz = idx.b_zone[mk].astype(np.int64)
+    bz[bz > pos] -= 1
+    out.b_zone = bz.astype(np.int32)
+    out.b_edge_off = np.concatenate([[0], np.cumsum(e_cnt[mk])]).astype(np.int64)
+    ei = idx.b_edge_idx[np.repeat(mk, e_cnt)].astype(np.int64)
+    ei[ei >= s1] -= cut  # kept subsets never index the deleted span
+    _set_boundary_edges(out, ei)
+
+    out.knn_res = idx.knn_res
+    return _finalize_index(out)
+
+
+def add_zone(idx: CompiledIndex, zone: Zone) -> CompiledIndex:
+    """A new CompiledIndex with ``zone`` merged in (store append for a live
+    index — S9's AddTimezone without a full rebuild). Only the NEW zone's
+    cover is computed; existing zones' structures are spliced around it."""
+    from .geom import ring_edges
+
+    if idx.b_edge_idx is None or idx.zone_edge_off is None:
+        raise ValueError(
+            "index predates INDEX_FORMAT_VERSION 5 (no edge-index/span "
+            "arrays) — recompile before incremental updates"
+        )
+    pos = int(np.searchsorted(idx.zone_ids, zone.zone_id))
+    if pos < len(idx.zone_ids) and idx.zone_ids[pos] == zone.zone_id:
+        raise KeyError(f"zone_id {zone.zone_id} already in index")
+
+    na_lat, na_lng, nb_lat, nb_lng = ring_edges(zone.ring_lat, zone.ring_lng)
+    n_new = na_lat.shape[0]
+    zeo = idx.zone_edge_off
+    ins = int(zeo[pos])
+
+    out = CompiledIndex(
+        base_res=idx.base_res,
+        max_res=idx.max_res,
+        zone_ids=np.insert(idx.zone_ids, pos, zone.zone_id),
+        tzids=idx.tzids[:pos] + [zone.tzid] + idx.tzids[pos:],
+        zone_bbox=np.insert(
+            idx.zone_bbox, pos, np.asarray(zone.bbox, dtype=F32), axis=0
+        ),
+    )
+    out.ea_lat = np.concatenate([idx.ea_lat[:ins], na_lat, idx.ea_lat[ins:]])
+    out.ea_lng = np.concatenate([idx.ea_lng[:ins], na_lng, idx.ea_lng[ins:]])
+    out.eb_lat = np.concatenate([idx.eb_lat[:ins], nb_lat, idx.eb_lat[ins:]])
+    out.eb_lng = np.concatenate([idx.eb_lng[:ins], nb_lng, idx.eb_lng[ins:]])
+    out.zone_edge_off = np.concatenate([zeo[: pos + 1], zeo[pos:] + n_new])
+
+    # the one piece of real geometry work: the NEW zone's own cover
+    if len(zone.ring_lat) >= 3:
+        z_full, z_boundary = _zone_cover(
+            (na_lat, na_lng, nb_lat, nb_lng), zone.bbox, idx.base_res, idx.max_res
+        )
+    else:  # degenerate ring never matches (polygon.go:101-103)
+        z_full, z_boundary = {}, []
+
+    # full-claim merge: expand old CSR to (cell, zidx) rows, renumber, append
+    # the new zone's rows, lexsort back into (cell asc, zidx asc) CSR
+    for r in range(idx.base_res, idx.max_res + 1):
+        cells, off, zl = idx.full[r]
+        old_cell = np.repeat(cells, np.diff(off))
+        old_z = zl.astype(np.int64)
+        old_z[old_z >= pos] += 1
+        new_c = np.sort(np.asarray(z_full.get(r, np.empty(0, np.int64)), np.int64))
+        ac = np.concatenate([old_cell, new_c])
+        az = np.concatenate([old_z, np.full(len(new_c), pos, np.int64)])
+        order = np.lexsort((az, ac))
+        ac, az = ac[order], az[order]
+        uc, uoff = np.unique(ac, return_index=True)
+        out.full[r] = (
+            uc,
+            np.concatenate([uoff, [len(ac)]]).astype(np.int64),
+            az.astype(np.int32),
+        )
+
+    # boundary merge: same row expansion, with each candidate's edge subset
+    # carried as a (start, count) block into a combined edge-index pool and
+    # gathered back in sorted candidate order
+    e_cnt = np.diff(idx.b_edge_off)
+    old_cell = np.repeat(idx.b_cells, np.diff(idx.b_off))
+    old_z = idx.b_zone.astype(np.int64)
+    old_z[old_z >= pos] += 1
+    old_ei = idx.b_edge_idx.astype(np.int64)
+    old_ei[old_ei >= ins] += n_new
+    nb_cell = np.array([c for c, _ in z_boundary], dtype=np.int64)
+    nb_subs = [np.asarray(s, np.int64) for _, s in z_boundary]
+    nb_cnt = np.array([len(s) for s in nb_subs], dtype=np.int64)
+    nb_ei = (
+        np.concatenate(nb_subs) + ins if nb_subs else np.empty(0, np.int64)
+    )
+    pool = np.concatenate([old_ei, nb_ei])
+    nb_start = (
+        np.concatenate([[0], np.cumsum(nb_cnt[:-1])]) if len(nb_cnt) else
+        np.empty(0, np.int64)
+    ) + len(old_ei)
+    all_cell = np.concatenate([old_cell, nb_cell])
+    all_z = np.concatenate([old_z, np.full(len(nb_cell), pos, np.int64)])
+    all_cnt = np.concatenate([e_cnt, nb_cnt]).astype(np.int64)
+    all_start = np.concatenate([idx.b_edge_off[:-1], nb_start]).astype(np.int64)
+    order = np.lexsort((all_z, all_cell))
+    sc = all_cell[order]
+    out.b_zone = all_z[order].astype(np.int32)
+    cnt_o = all_cnt[order]
+    out.b_edge_off = np.concatenate([[0], np.cumsum(cnt_o)]).astype(np.int64)
+    uc, uoff = np.unique(sc, return_index=True)
+    out.b_cells = uc
+    # candidate counts per unique cell (uoff marks each cell's first cand)
+    out.b_off = np.concatenate([uoff, [len(sc)]]).astype(np.int64)
+    _set_boundary_edges(out, pool[_ragged_ramp(all_start[order], cnt_o)])
+
+    out.knn_res = idx.knn_res
+    return _finalize_index(out)
+
+
+def replace_zone(idx: CompiledIndex, zone: Zone) -> CompiledIndex:
+    """Swap a zone's geometry in place (rtree R6 Replace): exact
+    delete + add under the same zone_id."""
+    return add_zone(delete_zone(idx, zone.zone_id), zone)
 
 
 def resolve_points(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.ndarray:

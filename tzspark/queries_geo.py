@@ -465,6 +465,59 @@ def q40_knn_join(spark, sf_dir):
     return knn_via_join(un, "event_id", cov).select("event_id", "zone_id")
 
 
+def q43_zone_update_resolve(spark, sf_dir):
+    """R5/R6 (store Delete/Replace) + live append: resolve through an index
+    updated IN PLACE — zone 7 deleted, zone 12 replaced with a grown box,
+    new zone 100 added — via cells.delete_zone/replace_zone/add_zone (CSR
+    splicing, byte-identical to a fresh compile over the updated zone list,
+    tests/test_index_update.py). The other 23 zones' covers are never
+    recomputed. Oracle: the same f32 containment argmin over the mutated
+    box table expressed in SQL."""
+    from .cells import add_zone, delete_zone, replace_zone
+    from .engine import resolve_only_udf
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    old = {int(z.zone_id): z for z in zones}[12]
+    la0 = old.ring_lat.min() - np.float32(6)
+    la1 = old.ring_lat.max() + np.float32(4)
+    lg0 = old.ring_lng.min() - np.float32(20)
+    lg1 = old.ring_lng.max() + np.float32(6)
+    grown = Zone(
+        12, old.tzid,
+        np.array([la0, la0, la1, la1], F32), np.array([lg0, lg1, lg1, lg0], F32),
+    )
+    added = Zone(
+        100, "Test/Added",
+        np.array([40, 40, 52, 52], F32), np.array([-170, -150, -150, -170], F32),
+    )
+    idx = add_zone(replace_zone(delete_zone(idx, 7), grown), added)
+    bidx = spark.sparkContext.broadcast(idx)
+    p = pts_df(spark, sf_dir)
+    return p.select(
+        "event_id", resolve_only_udf(bidx)(F.col("lat"), F.col("lng")).alias("zone_id")
+    )
+
+
+Q43_SQL = f"""
+WITH pts AS ({PTS_SQL}), boxes0 AS ({BOXES_SQL}),
+boxes AS (
+  SELECT zone_id, tzid,
+         CASE WHEN zone_id = 12 THEN min_lat - 6 ELSE min_lat END AS min_lat,
+         CASE WHEN zone_id = 12 THEN max_lat + 4 ELSE max_lat END AS max_lat,
+         CASE WHEN zone_id = 12 THEN min_lng - 20 ELSE min_lng END AS min_lng,
+         CASE WHEN zone_id = 12 THEN max_lng + 6 ELSE max_lng END AS max_lng
+  FROM boxes0 WHERE zone_id <> 7
+  UNION ALL
+  SELECT 100, 'Test/Added', 40.0, 52.0, -170.0, -150.0
+)
+SELECT p.event_id,
+       CAST(COALESCE(MIN(CASE WHEN {_CONTAIN_F32} THEN b.zone_id END), -1) AS INTEGER) AS zone_id
+FROM pts p CROSS JOIN boxes b
+GROUP BY p.event_id
+"""
+
+
 def q28_frame_sample(spark, sf_dir):
     """Deterministic every-k-th sampling per group (the video frame-sample
     operator, imageops.frame_sample) demonstrated on events per user."""
@@ -538,4 +591,5 @@ GEO_QUERIES = {
     "q12_knn_engine": (q12_knn_engine, Q12_SQL),
     "q39_resolve_join": (q39_resolve_join, Q10_SQL),
     "q40_knn_join": (q40_knn_join, Q12_SQL),
+    "q43_zone_update_resolve": (q43_zone_update_resolve, Q43_SQL),
 }
