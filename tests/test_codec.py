@@ -87,3 +87,34 @@ def test_extract_gps_batch_misaligned_17n_total():
     assert not ok[0]  # shorter than the header -> quarantined
     assert ok[1]  # full valid header prefix -> parsed correctly
     assert lat[1] == np.float32(5.0) and lng[1] == np.float32(6.0)
+
+
+def test_batch_psnr_audit_equals_scalar_path():
+    """The vectorized audit must reproduce the scalar decode+synth+psnr
+    composition exactly (squared-error sums are exact integers; the final
+    log10 is the same float64 expression)."""
+    from tzspark.imagecodec import batch_psnr_audit, pack_blobs
+
+    rows = []
+    for i in range(60):
+        w, h, fmt = (8, 16, 32)[i % 3], (8, 16, 24)[i % 3], ("raw", "rle", "qnt")[i % 3]
+        buf, _, _ = encode_image(i, 1.0, 2.0, w, h, fmt)
+        rows.append((i, buf, fmt, w, h))
+    rows.append((999, b"short", None, 0, 0))  # quarantine row
+    data, offsets = pack_blobs([r[1] for r in rows])
+    audit = batch_psnr_audit(data, offsets, np.array([r[0] for r in rows]))
+    assert not audit["ok"][-1]
+    for k, (i, buf, fmt, w, h) in enumerate(rows[:-1]):
+        assert audit["ok"][k]
+        _, _, dec = decode_image(buf)
+        want = psnr(synth_pixels(i, w, h), dec)
+        got = float(audit["psnr"][k])
+        if want == float("inf"):
+            assert got == float("inf"), (k, fmt)
+        else:
+            assert abs(got - want) < 1e-9, (k, fmt, got, want)
+    # losslessness by format: raw/rle exact, qnt >= 40 dB
+    p = audit["psnr"][:-1]
+    fmts = np.array([r[2] for r in rows[:-1]])
+    assert np.isinf(p[fmts != "qnt"]).all()
+    assert (p[fmts == "qnt"] >= 40.0).all()

@@ -325,6 +325,74 @@ def batch_image_stats(
     return out
 
 
+def batch_psnr_audit(data: np.ndarray, offsets: np.ndarray, row_idx: np.ndarray) -> dict:
+    """Vectorized per-image PSNR audit against RECOMPUTED synthetic pixels.
+
+    The audit's point is recomputing synth_pixels(i, w, h) for every image
+    and comparing with the decoded payload — but nothing about that is
+    per-image: within a (w, h) shape group the base/gradient grid is shared,
+    and the per-image phase/sinusoid terms broadcast over an (n_images, w*h)
+    array. One gather pulls every decoded payload into an (n, 3*w*h) matrix
+    (raw/qnt straight from the packed stream, rle from batch_image_stats'
+    single global decode), so the whole audit is a handful of numpy ops per
+    shape group — no per-image Python.
+
+    row_idx: (n,) synthesis indices i. Returns dict with ok (decodable),
+    fmt_code, and psnr (float64, +inf for bit-equal) — bitwise identical to
+    the scalar psnr(synth_pixels(i,..), decode_image(..)) path because the
+    squared-error sums are exact integers.
+    """
+    st = batch_image_stats(data, offsets, keep_decoded=True)
+    n = offsets.shape[0] - 1
+    ok = st["ok"]
+    out_psnr = np.full(n, np.nan)
+    ps = offsets[:-1] + HEADER_LEN
+    decoded, dstart, rle_rows, good = st["rle"]
+    rle_start = np.full(n, -1, np.int64)
+    rle_start[rle_rows[good]] = dstart[:-1][good]
+    is_rle_row = np.zeros(n, bool)
+    is_rle_row[rle_rows] = True
+    fmtc = st["fmt_code"]
+    h64, w64 = st["h"], st["w"]
+    idx = np.asarray(row_idx, dtype=np.int64)
+    okw = np.flatnonzero(ok)
+    for hh, ww in set(zip(h64[okw].tolist(), w64[okw].tolist())):
+        sel = okw[(h64[okw] == hh) & (w64[okw] == ww)]
+        hw = int(hh * ww)
+        yy, xx = np.meshgrid(np.arange(hh), np.arange(ww), indexing="ij")
+        xf = xx.reshape(-1).astype(np.float64)
+        yf = yy.reshape(-1).astype(np.float64)
+        sf = (xx + yy).reshape(-1).astype(np.float64)
+        base = (xf * 255.0 / max(ww - 1, 1) + yf * 255.0 / max(hh - 1, 1)) / 2.0
+        span = np.arange(3 * hw)
+        for rows, src, start, qnt in (
+            (sel[fmtc[sel] == FMT_CODES["raw"]], data, ps, False),
+            (sel[fmtc[sel] == FMT_CODES["qnt"]], data, ps, True),
+            (sel[is_rle_row[sel]], decoded, rle_start, False),
+        ):
+            if rows.shape[0] == 0:
+                continue
+            i = idx[rows]
+            phase = ((i * 37) % 256).astype(np.float64)
+            orig = np.empty((rows.shape[0], hw, 3), np.uint8)
+            orig[:, :, 0] = base.astype(np.uint8)[None, :]
+            orig[:, :, 1] = ((base[None, :] + phase[:, None]) % 256.0).astype(np.uint8)
+            orig[:, :, 2] = (
+                127.5 + 127.5 * np.sin(sf[None, :] / 7.0 + (i * 0.31)[:, None])
+            ).astype(np.uint8)
+            dec = src[start[rows][:, None] + span[None, :]]
+            if qnt:
+                dec = ((dec.astype(np.int64) << 2) + 2).astype(np.uint8)
+            err = orig.reshape(rows.shape[0], -1).astype(np.int64) - dec.astype(np.int64)
+            sq = np.einsum("ij,ij->i", err, err)
+            mse = sq / (3.0 * hw)
+            with np.errstate(divide="ignore"):
+                out_psnr[rows] = np.where(
+                    sq == 0, np.inf, 20.0 * np.log10(255.0 / np.sqrt(mse))
+                )
+    return {"ok": ok, "fmt_code": fmtc, "psnr": out_psnr}
+
+
 def pack_blobs(bufs) -> tuple:
     """List of bytes-likes (None tolerated) -> (data uint8, offsets int64)
     for batch_image_stats. One join + one frombuffer, no per-row parsing."""

@@ -114,6 +114,49 @@ def image_features(images: DataFrame) -> DataFrame:
     )
 
 
+CHANNEL_SUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def image_channel_sums(images: DataFrame) -> DataFrame:
+    """Exact per-image decoded channel sums (int64), one zero-copy
+    mapInArrow over batch_image_stats — no decode loop, no float error.
+    Used by q30's value-level oracle over resized blobs; undecodable rows
+    yield nulls."""
+    import pyarrow as pa
+
+    from .engine import _arrow_binary_view
+    from .imagecodec import batch_image_stats
+
+    def _sums(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            st = batch_image_stats(data, offs)
+            ok = st["ok"] if valid is None else st["ok"] & valid
+            bad = ~ok
+            ch = st["ch_sum"]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(ch[:, 0], mask=bad),
+                    pa.array(ch[:, 1], mask=bad),
+                    pa.array(ch[:, 2], mask=bad),
+                ],
+                names=[f.name for f in CHANNEL_SUMS_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(
+        _sums, CHANNEL_SUMS_SCHEMA
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType(), False),

@@ -1,10 +1,15 @@
-"""Non-SQL-expressible operators (rows-only driver checks + pytest goldens).
+"""Payload-path queries and their DuckDB pixel/coordinate-synthesis oracles.
 
-These exercise the image payload path and the full synthetic-zone engine —
-exact ray-cast PIP over concave/holed/high-vertex polygons and image
-decode/PSNR are not ANSI-SQL-expressible, so the driver records a rows-only
-check and the value-level verification lives in tests/ against the committed
-float32 oracle (SURVEY.md §5).
+The synthetic payloads are deterministic arithmetic in the row index, so
+even the image-decode statistics are value-level SQL-expressible: the
+oracles below reproduce the coordinate synthesis (splitmix64 in HUGEINT
+arithmetic), the pixel synthesis (gradient + sinusoid, verified bit-exact
+between numpy and DuckDB's sin over the whole argument domain), the codec
+decode (qnt dequantize), the nearest-neighbor resize gather, and PSNR from
+exact squared-error sums. Only the full concave-zone engine (q27, ray-cast
+PIP over arbitrary polygons) and the streaming execution (q31) remain
+rows-only, value-pinned in tests/ against the committed float32 oracle
+(SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -108,15 +113,169 @@ c AS (SELECT i,
              CASE WHEN u_s < 0.80 THEN {hot_lng} + (u_b - 0.5) * 0.5
                   ELSE -6.0 + u_b * 48.0 END AS lng64
       FROM u)
-SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+SELECT i,
+       'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
        CAST(lat64 AS FLOAT) AS lat,
-       CAST(lng64 AS FLOAT) AS lng,
-       TRUE AS gps_ok
+       CAST(lng64 AS FLOAT) AS lng
 FROM c
 """
 
 
-Q24_SQL = _q24_sql()
+# i, image_id, lat(f32), lng(f32) for every event row — the shared seed of
+# every payload oracle below.
+COORDS_SQL = _q24_sql()
+
+Q24_SQL = f"SELECT image_id, lat, lng, TRUE AS gps_ok FROM ({COORDS_SQL})"
+
+
+# --- DuckDB pixel-synthesis oracles: q25 / q26 / q29 / q30 -------------------
+#
+# synth_pixels (imagecodec.py:49-63) is pure float64 arithmetic in the row
+# index and pixel coordinates, and the codec decode is exact integer math
+# (qnt: 4*floor(p/4)+2), so the per-image DECODED channel sums — the basis of
+# every payload statistic the engine reports — are exactly expressible in
+# SQL. numpy's vectorized sin matches DuckDB's libm sin bit-for-bit over the
+# entire argument domain used here (verified exhaustively for sf0.01 AND
+# sf0.1: 5.5M distinct arguments, zero float64 mismatches), and every other
+# op (IEEE +,*,/ and fmod on doubles, floor of non-negative values = the
+# uint8 truncation) is deterministic across both engines — so these oracles
+# are value-exact, not approximate.
+
+_DIMS_SQL = """SELECT event_id AS i,
+       CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END AS w,
+       CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS h,
+       CASE CAST(event_id % 3 AS INTEGER) WHEN 0 THEN 'raw' WHEN 1 THEN 'rle' ELSE 'qnt' END AS fmt,
+       CAST((event_id * 37) % 256 AS DOUBLE) AS phase
+  FROM events"""
+
+
+def _decoded_px_sql(src: str) -> str:
+    """Wrap ``src`` (yields i,w,h,fmt,phase,x,y) with the synthetic pixel
+    values: r0/g0/b0 are the stored uint8 channels (synth_pixels op for op;
+    FLOOR == the .astype(uint8) truncation because every value is >= 0) and
+    r/g/b the codec-DECODED values (identity for raw/rle, 4*floor(p/4)+2
+    for qnt — imagecodec.decode_image's dequantize)."""
+    return f"""
+SELECT *,
+       CASE WHEN fmt = 'qnt' THEN 4 * FLOOR(r0 / 4) + 2 ELSE r0 END AS r,
+       CASE WHEN fmt = 'qnt' THEN 4 * FLOOR(g0 / 4) + 2 ELSE g0 END AS g,
+       CASE WHEN fmt = 'qnt' THEN 4 * FLOOR(b0 / 4) + 2 ELSE b0 END AS b
+FROM (
+  SELECT *,
+         FLOOR(base) AS r0,
+         FLOOR((base + phase) % 256.0) AS g0,
+         FLOOR(127.5 + 127.5 * SIN((x + y) / 7.0 + i * 0.31)) AS b0
+  FROM (SELECT *, (x * 255.0 / (w - 1) + y * 255.0 / (h - 1)) / 2.0 AS base
+        FROM ({src}))
+)"""
+
+
+def _pixsums_sql() -> str:
+    """Per-image exact channel sums of the decoded pixels, plus the qnt
+    squared-error total (for PSNR) — one row per image."""
+    full_grid = f"""
+  SELECT d.i, d.w, d.h, d.fmt, d.phase, sy.v AS y, sx.v AS x
+    FROM ({_DIMS_SQL}) d
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sy ON sy.v < d.h
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sx ON sx.v < d.w"""
+    return f"""
+SELECT i, w, h, fmt, w * h AS npx,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM((r0 - r) * (r0 - r) + (g0 - g) * (g0 - g)
+                + (b0 - b) * (b0 - b)) AS BIGINT) AS sq_err
+FROM ({_decoded_px_sql(full_grid)})
+GROUP BY i, w, h, fmt
+"""
+
+
+PIXSUMS_SQL = _pixsums_sql()
+
+
+def _q29_sql() -> str:
+    # mean_* reproduce imageops.image_features bit-for-bit: exact int64
+    # channel sums -> float64 division by npx; luma via the same
+    # left-associated 0.299/0.587/0.114 combination (imagecodec.py:315-317).
+    return f"""
+WITH s AS ({PIXSUMS_SQL})
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+       CAST(sum_r AS DOUBLE) / npx AS mean_r,
+       CAST(sum_g AS DOUBLE) / npx AS mean_g,
+       CAST(sum_b AS DOUBLE) / npx AS mean_b,
+       (CAST(0.299 AS DOUBLE) * sum_r + CAST(0.587 AS DOUBLE) * sum_g
+        + CAST(0.114 AS DOUBLE) * sum_b) / npx AS mean_luma,
+       fmt <> 'qnt' AS phash_ok,
+       FALSE AS decode_failed
+FROM s
+"""
+
+
+def _q30_sql() -> str:
+    # Nearest-neighbor gather: output pixel (oy, ox) of the 8x8 resize reads
+    # source (oy*h//8, ox*w//8) (imageops.resize_images yi/xi ramps); the
+    # gathered value is the DECODED channel byte, so the resized blob's
+    # channel sums are the sums of those 192 decoded source bytes.
+    gather = f"""
+  SELECT d.i, d.w, d.h, d.fmt, d.phase,
+         (oy.v * d.h) // 8 AS y, (ox.v * d.w) // 8 AS x
+    FROM ({_DIMS_SQL}) d
+    JOIN (SELECT unnest(generate_series(0, 7)) AS v) oy ON TRUE
+    JOIN (SELECT unnest(generate_series(0, 7)) AS v) ox ON TRUE"""
+    return f"""
+WITH co AS ({COORDS_SQL}),
+rs AS (
+  SELECT i,
+         CAST(SUM(r) AS BIGINT) AS sum_r,
+         CAST(SUM(g) AS BIGINT) AS sum_g,
+         CAST(SUM(b) AS BIGINT) AS sum_b
+  FROM ({_decoded_px_sql(gather)})
+  GROUP BY i
+)
+SELECT co.image_id, CAST(8 AS INTEGER) AS w, CAST(8 AS INTEGER) AS h,
+       co.lat, co.lng, TRUE AS gps_ok,
+       rs.sum_r, rs.sum_g, rs.sum_b
+FROM co JOIN rs ON rs.i = co.i
+"""
+
+
+def _q26_sql() -> str:
+    from .cells import DEFAULT_MAX_RES, cell_id_sql
+
+    cell = cell_id_sql("co.lat", "co.lng", DEFAULT_MAX_RES)
+    return f"""
+WITH co AS ({COORDS_SQL}), s AS ({PIXSUMS_SQL})
+SELECT {cell} AS cell_id,
+       COUNT(*) AS n_images,
+       CAST(SUM(s.npx) AS BIGINT) AS n_pixels,
+       SUM(CAST(0.299 AS DOUBLE) * s.sum_r + CAST(0.587 AS DOUBLE) * s.sum_g
+           + CAST(0.114 AS DOUBLE) * s.sum_b)
+         / SUM(s.npx) AS mean_luma,
+       SUM(CAST(co.lat AS DOUBLE)) / COUNT(*) AS mean_lat,
+       SUM(CAST(co.lng AS DOUBLE)) / COUNT(*) AS mean_lng
+FROM co JOIN s ON s.i = co.i
+GROUP BY cell_id
+"""
+
+
+def _q25_sql() -> str:
+    # PSNR from the exact squared-error total: mse = sq_err / (3*w*h); raw
+    # and rle are lossless (sq_err = 0 -> the engine's 1e9 'inf' sentinel).
+    # n_violations = 0 is the INVARIANT the Spark side must reproduce — if
+    # the codec ever breaks it, the Spark value flips and the hash fails.
+    return f"""
+WITH s AS ({PIXSUMS_SQL}),
+per AS (
+  SELECT fmt,
+         CASE WHEN sq_err = 0 THEN 1e9
+              ELSE 20.0 * LOG10(255.0 / SQRT(CAST(sq_err AS DOUBLE) / (3 * npx)))
+         END AS p
+  FROM s)
+SELECT fmt, COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_violations,
+       ROUND(MIN(p), 2) AS min_psnr
+FROM per GROUP BY fmt
+"""
 
 
 def q41_full_engine_boxes(spark, sf_dir):
@@ -204,14 +363,23 @@ EXTRA_ORACLES = {
     "q24_extract_gps": Q24_SQL,
     "q41_full_engine_boxes": Q41_SQL,
     "q42_full_engine_boxes_join": Q41_SQL,
+    "q25_psnr_invariant": _q25_sql(),
+    "q26_tile_raster": _q26_sql(),
+    "q29_image_features": _q29_sql(),
+    "q30_resize": _q30_sql(),
 }
 
 
 def q25_psnr_invariant(spark, sf_dir):
     """Per-row payload invariant: decode every image, recompute pixels from
     the row index, report PSNR class. Output = per-fmt violation counts
-    (expected: zero violations — lossless bit-equal, lossy >= 40 dB)."""
-    from .imagecodec import decode_image, psnr, synth_pixels
+    (expected: zero violations — lossless bit-equal, lossy >= 40 dB).
+    Fully vectorized (imagecodec.batch_psnr_audit): the synthesis broadcast
+    and one payload gather per shape group replace the round-2 per-image
+    decode loop; hash-checked against the exact squared-error PSNR oracle
+    (_q25_sql)."""
+    from .engine import _arrow_binary_view
+    from .imagecodec import FMT_NAMES, batch_psnr_audit
 
     imgs = _images(spark, sf_dir).select("image_id", "bytes", "fmt")
 
@@ -225,28 +393,45 @@ def q25_psnr_invariant(spark, sf_dir):
     )
 
     def _check(batches):
-        for pdf in batches:
-            recs = {}
-            for iid, buf, fmt in zip(
-                pdf["image_id"].tolist(), pdf["bytes"].tolist(), pdf["fmt"].tolist()
-            ):
-                i = int(iid[3:])
-                _, _, dec = decode_image(bytes(buf))
-                orig = synth_pixels(i, dec.shape[1], dec.shape[0])
-                p = psnr(orig, dec)
-                ok = (p == float("inf")) if fmt in ("raw", "rle") else (p >= 40.0)
-                st = recs.setdefault(fmt, [0, 0, float("inf")])
-                st[0] += 1
-                st[1] += 0 if ok else 1
-                st[2] = min(st[2], p if p != float("inf") else 1e9)
-            yield pd.DataFrame(
-                [
-                    {"fmt": k, "n_rows": v[0], "n_violations": v[1], "min_psnr": v[2]}
-                    for k, v in recs.items()
-                ]
-            )
+        import pyarrow as pa
 
-    per_part = imgs.mapInPandas(_check, schema)
+        for batch in batches:
+            ids = batch.column(0).to_pandas()
+            i = ids.str[3:].astype(np.int64).to_numpy()
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            audit = batch_psnr_audit(data, offs, i)
+            ok = audit["ok"] if valid is None else audit["ok"] & valid
+            p = audit["psnr"]
+            rows = []
+            for code, name in FMT_NAMES.items():
+                m = ok & (audit["fmt_code"] == code)
+                if not m.any():
+                    continue
+                viol = (
+                    (p[m] < 40.0) if name == "qnt" else (p[m] != np.inf)
+                ).sum()
+                finite = np.where(np.isinf(p[m]), 1e9, p[m])
+                rows.append(
+                    {
+                        "fmt": name,
+                        "n_rows": int(m.sum()),
+                        "n_violations": int(viol),
+                        "min_psnr": float(finite.min()),
+                    }
+                )
+            if rows:
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(rows), schema=pa.schema(
+                        [
+                            pa.field("fmt", pa.string()),
+                            pa.field("n_rows", pa.int64()),
+                            pa.field("n_violations", pa.int64()),
+                            pa.field("min_psnr", pa.float64()),
+                        ]
+                    )
+                )
+
+    per_part = imgs.mapInArrow(_check, schema)
     return per_part.groupBy("fmt").agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_violations").alias("n_violations"),
@@ -264,9 +449,12 @@ def q26_tile_raster(spark, sf_dir):
         "cell_id",
         "n_images",
         "n_pixels",
-        F.round("mean_luma", 4).alias("mean_luma"),
-        F.round("mean_lat", 4).alias("mean_lat"),
-        F.round("mean_lng", 4).alias("mean_lng"),
+        # unrounded: Spark's HALF_UP-on-BigDecimal and DuckDB's
+        # floating ROUND disagree on near-tie doubles; the driver's canon
+        # rounds both sides identically instead.
+        "mean_luma",
+        "mean_lat",
+        "mean_lng",
     )
 
 
@@ -294,7 +482,11 @@ def q27_full_engine_synthetic(spark, sf_dir):
 
 def q29_image_features(spark, sf_dir):
     """Multimodal feature extraction (decode -> stats + phash verify),
-    partition-local, failure-routed. Rows-only: value check in pytest."""
+    partition-local, failure-routed. Value-level oracle: the per-image means
+    derive from exact int64 channel sums, which the DuckDB pixel-synthesis
+    oracle (_q29_sql) reproduces bit-for-bit — means are emitted UNROUNDED.
+    phash_ok is NULL for lossy rows (unverifiable); coalesced to FALSE so
+    the compared value is deterministic on both sides."""
     from .imageops import image_features
 
     f = image_features(_images(spark, sf_dir))
@@ -302,26 +494,33 @@ def q29_image_features(spark, sf_dir):
         "image_id",
         "w",
         "h",
-        F.round("mean_r", 4).alias("mean_r"),
-        F.round("mean_luma", 4).alias("mean_luma"),
-        "phash_ok",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        "mean_luma",
+        F.coalesce("phash_ok", F.lit(False)).alias("phash_ok"),
         "decode_failed",
     )
 
 
 def q30_resize(spark, sf_dir):
-    """Nearest-neighbor resize to 8x8 with GPS header preserved; output is
-    the re-extracted GPS of the resized blob (proves the header survives)."""
+    """Nearest-neighbor resize to 8x8 with GPS header preserved. Output =
+    re-extracted GPS of the resized blob (header survives) PLUS the resized
+    image's exact decoded channel sums — the DuckDB oracle recomputes both
+    from first principles (coordinate synthesis + the nearest-neighbor
+    gather over synthesized pixels), so the resize CONTENT is value-checked,
+    not just the header plumbing."""
     from .engine import extract_gps_udf, gps_header_col
-    from .imageops import resize_images
+    from .imageops import image_channel_sums, resize_images
 
     r = resize_images(_images(spark, sf_dir), 8, 8)
     g = r.withColumn("g", extract_gps_udf()(gps_header_col(F.col("bytes"))))
+    s = image_channel_sums(r)
     return g.select(
         "image_id", "w", "h",
         F.col("g.lat").alias("lat"), F.col("g.lng").alias("lng"),
         F.col("g.gps_ok").alias("gps_ok"),
-    )
+    ).join(s, "image_id")
 
 
 def q31_stream_assign(spark, sf_dir):
