@@ -956,7 +956,165 @@ GROUP BY p.vec_id, p.label
 """
 
 
+# --- canonical corpus after near-dup clustering -----------------------------
+
+
+def q44_dedup_canonical(spark, sf_dir):
+    """The step that closes the dedup loop: keep ONE representative per
+    near-dup cluster (min doc_id = the q37 canon) and every unclustered doc
+    — i.e. the cleaned corpus a training pipeline actually feeds downstream.
+    Pure composition: q15 pairs -> q37 connected components -> left_anti
+    join of the non-canonical members against the corpus. The join's right
+    side is the (tiny) labels table, so at 100 TB this is a broadcast join
+    against the full corpus scan — no extra shuffle of the text. Output is
+    the WHOLE corpus with a kept flag (not just survivors), so the hash
+    check pins every per-doc keep/drop decision."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    labels = q37_near_dup_clusters(spark, sf_dir)
+    dropped = (
+        labels.where(F.col("doc_id") != F.col("canon_id"))
+        .select("doc_id", F.lit(True).alias("_drop"))
+    )
+    return docs.join(F.broadcast(dropped), "doc_id", "left").select(
+        "doc_id", "lang", "n_chars", F.col("_drop").isNull().alias("kept")
+    )
+
+
+Q44_SQL = f"""
+WITH lab AS ({Q37_SQL})
+SELECT d.doc_id, d.lang, d.n_chars,
+       d.doc_id NOT IN (SELECT doc_id FROM lab WHERE doc_id <> canon_id) AS kept
+FROM documents d
+"""
+
+
+# --- as-of join (event-time temporal join) ----------------------------------
+
+
+def q45_asof_join(spark, sf_dir):
+    """As-of join: attach to every `purchase` event the most recent
+    at-or-before `click` of the same user. Spark has no ASOF JOIN operator;
+    the scale-correct plan is the union-and-last-value form — tag both
+    sides, ONE shuffle on user_id, sort by (ts, side) inside each
+    partition, and `last(..., ignorenulls)` over the running window carries
+    the most recent right-side row forward. No range-join explosion, no
+    per-key driver loop; at 100 TB this is a single hash-partitioned
+    sort-window over the union (DuckDB's native ASOF JOIN is the oracle).
+    (user_id, ts) is verified unique in the dataset, so at-or-before
+    semantics need no further tie-break."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value",
+        F.lit(None).cast("long").alias("r_event"),
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(1).alias("side"),
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.col("event_id").alias("r_event"),
+        F.col("value").alias("r_value"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = left.unionByName(right).select(
+        "event_id", "user_id", "ts", "value", "side",
+        F.last("r_event", ignorenulls=True).over(w).alias("asof_event"),
+        F.last("r_value", ignorenulls=True).over(w).alias("asof_value"),
+    )
+    return u.where(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "value",
+        F.coalesce("asof_event", F.lit(-1)).alias("asof_event"),
+        F.coalesce("asof_value", F.lit(0.0)).alias("asof_value"),
+    )
+
+
+Q45_SQL = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       COALESCE(r.event_id, -1) AS asof_event,
+       COALESCE(r.value, 0.0) AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# --- sessionization ---------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+def q46_sessionize(spark, sf_dir):
+    """Sessionization: split each user's event stream at >30-minute gaps and
+    aggregate per session — the canonical event-log shaping step before
+    behavioral/training feature extraction. One shuffle on user_id; the gap
+    flag and running session index are lag/sum windows over the same sort,
+    so the whole operator is a single sort-window stage plus the final
+    per-session aggregate. Gap arithmetic is exact integer microseconds
+    (timestamp_diff here — NTZ-safe, unlike unix_micros — and epoch_us
+    differencing in the oracle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    flagged = ev.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+Q46_SQL = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         CASE WHEN lag_us IS NULL OR epoch_us(ts) - lag_us > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM (
+    SELECT *, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS lag_us
+    FROM events
+  )
+),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_purchases,
+       SUM(value) AS total_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 TEXT_QUERIES = {
+    "q44_dedup_canonical": (q44_dedup_canonical, Q44_SQL),
+    "q45_asof_join": (q45_asof_join, Q45_SQL),
+    "q46_sessionize": (q46_sessionize, Q46_SQL),
     "q37_near_dup_clusters": (q37_near_dup_clusters, Q37_SQL),
     "q38_centroid_outliers": (q38_centroid_outliers, Q38_SQL),
     "q35_corpus_clean": (q35_corpus_clean, Q35_SQL),
