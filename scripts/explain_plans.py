@@ -151,6 +151,27 @@ def main():
     if n_py6 != 1:
         failures.append(f"cover-join: {n_py6} Python stages (expected exactly 1)")
 
+    # 7. as-of join (union-and-last-value form): NO join operator at all —
+    # one Exchange on user_id feeds the window; sessionization's two windows
+    # share the same partitioning, so its only extra Exchange is the final
+    # per-session aggregate
+    from tzspark.queries_text import q45_asof_join, q46_sessionize
+
+    p7 = plan_of(q45_asof_join(spark, sf_small))
+    sections.append(("as-of join (union + last-value window)", p7))
+    if re.search(r"Join", p7):
+        failures.append("asof: plan contains a join operator (expected none)")
+    n_ex7 = len(re.findall(r"\(\d+\) Exchange\b", p7))
+    if n_ex7 != 1:
+        failures.append(f"asof: {n_ex7} Exchanges (expected exactly 1)")
+    p8 = plan_of(q46_sessionize(spark, sf_small))
+    sections.append(("sessionization (gap windows + rollup)", p8))
+    n_ex8 = len(re.findall(r"\(\d+\) Exchange\b", p8))
+    if n_ex8 > 2:
+        failures.append(
+            f"sessionize: {n_ex8} Exchanges (expected <= 2: windows share one)"
+        )
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -170,6 +191,10 @@ def main():
             "- tile rollup shuffles only post-decode partial sums\n"
             "- cover-as-table resolve: cover joins are ShuffledHashJoin, zero "
             "BroadcastHashJoin, one Python stage (the boundary PIP)\n"
+            "- as-of join: zero join operators, exactly one Exchange "
+            "(user_id) feeding the last-value window\n"
+            "- sessionization: both gap windows share one user_id Exchange "
+            "(<= 2 Exchanges incl. the final rollup)\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

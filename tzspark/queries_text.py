@@ -1111,7 +1111,140 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+# --- TF-IDF top terms -------------------------------------------------------
+
+
+def q47_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 terms with tf-idf scores. Ranking is INTEGER
+    ordering only (tf desc, token asc) so the result is deterministic across
+    engines; the float score (tf * ln(N/df)) is an output value, never a
+    sort key — float ulp differences between Math.log and libm ln cannot
+    reorder rows. Two shuffles total: token stats and the per-doc window;
+    the tiny (token, df) side broadcasts back onto the tf table."""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("token").asc())
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id", "rank", "token", "tf", "df",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
+Q47_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, tf.token ASC) AS rank
+  FROM tf JOIN df USING (token)
+)
+SELECT doc_id, rank, token, tf, df,
+       tf * LN((SELECT n_docs FROM n) / df) AS tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --- PII scrub --------------------------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\b555-[0-9]{3,}\\b"
+
+
+def q48_pii_scrub(spark, sf_dir):
+    """PII scrubbing: regex-redact emails and phone numbers before a corpus
+    ships to training. The test corpus has no PII, so the query PLANTS a
+    deterministic contact line per doc (same concat both engines) and then
+    scrubs it — output is match counts plus the md5 of the scrubbed text,
+    so a single divergent replacement anywhere hash-fails. Patterns are
+    restricted to syntax with identical semantics in Java regex (Spark) and
+    RE2 (DuckDB): literal classes, +, {m,}, \\b."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com or 555-0"),
+        F.col("doc_id"),
+    )
+    t = d.select("doc_id", planted.alias("ptext"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("ptext"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("ptext"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("ptext"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(scrub).alias("scrubbed_md5"),
+    )
+
+
+Q48_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-0' || doc_id
+           AS ptext
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ptext, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(ptext, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(ptext, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM t
+"""
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+# per-lang keep thresholds on the first two hex chars of md5(doc_id):
+# 'en' keeps ~50% ('80'/256), everything else ~20% ('33'/256). String
+# comparison on lowercase hex is identical in both engines — no integer
+# conversion, no RNG state, reproducible at any scale and any partitioning.
+_STRATA = {"en": "80"}
+_DEFAULT_THRESH = "33"
+
+
+def q49_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling: keep a doc when the
+    md5(doc_id) prefix falls under its language's threshold. This is the
+    scale-correct sampler — a pure per-row filter (no shuffle, no RNG
+    state, no driver coordination), stable under resume/retry because
+    membership is a function of the key alone."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.when(
+        F.col("lang") == "en", F.lit(_STRATA["en"])
+    ).otherwise(F.lit(_DEFAULT_THRESH))
+    return d.where(prefix < thresh)
+
+
+Q49_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE WHEN lang = 'en' THEN '{_STRATA["en"]}' ELSE '{_DEFAULT_THRESH}' END
+"""
+
+
 TEXT_QUERIES = {
+    "q47_tfidf_topterms": (q47_tfidf_topterms, Q47_SQL),
+    "q48_pii_scrub": (q48_pii_scrub, Q48_SQL),
+    "q49_stratified_sample": (q49_stratified_sample, Q49_SQL),
     "q44_dedup_canonical": (q44_dedup_canonical, Q44_SQL),
     "q45_asof_join": (q45_asof_join, Q45_SQL),
     "q46_sessionize": (q46_sessionize, Q46_SQL),
