@@ -1,0 +1,167 @@
+"""Toy-fixture pins for the event-time and corpus-pipeline operators
+(q45 as-of join, q46 sessionization, q47 tf-idf, q48 scrub, q49 sampling).
+The sf0.01 value checks live in the driver oracles; these tests pin the
+SEMANTICS on inputs small enough to verify by hand."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from tzspark.queries_text import (
+    q45_asof_join,
+    q46_sessionize,
+    q47_tfidf_topterms,
+    q48_pii_scrub,
+    q49_stratified_sample,
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["props"] = "{}"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    return str(tmp_path)
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+def test_asof_join_semantics(spark, tmp_path):
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: click at :05, purchases at :03 (before any click -> no
+            # match), :05 (equal ts -> at-or-before matches), :30 (matches)
+            (10, _ts(5), 1, "click", 1.5),
+            (11, _ts(3), 1, "purchase", 9.0),
+            (12, _ts(5), 1, "purchase", 9.5),
+            (13, _ts(30), 1, "purchase", 9.9),
+            # user 2: two clicks; purchase takes the LATEST preceding one
+            (20, _ts(1), 2, "click", 2.0),
+            (21, _ts(7), 2, "click", 2.5),
+            (22, _ts(8), 2, "purchase", 8.0),
+            # noise the operator must ignore
+            (30, _ts(2), 1, "view", 0.1),
+        ],
+    )
+    got = {
+        r["event_id"]: (r["asof_event"], r["asof_value"])
+        for r in q45_asof_join(spark, sf).collect()
+    }
+    assert got == {
+        11: (-1, 0.0),     # purchase before any click
+        12: (10, 1.5),     # equal-ts click is visible (at-or-before)
+        13: (10, 1.5),
+        22: (21, 2.5),     # latest preceding click wins
+    }
+
+
+def test_asof_equal_ts_click_wins(spark, tmp_path):
+    # (user_id, ts) collision between a click and a purchase: the click
+    # sorts first (side ordering), so the purchase sees it.
+    sf = _write_events(
+        spark, tmp_path,
+        [(1, _ts(5), 7, "click", 3.0), (2, _ts(5), 7, "purchase", 1.0)],
+    )
+    row = q45_asof_join(spark, sf).collect()[0]
+    assert (row["asof_event"], row["asof_value"]) == (1, 3.0)
+
+
+def test_sessionize_gap_splits(spark, tmp_path):
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: 0, +10 min (same session), +40 (new), +50 (new)
+            (1, _ts(0), 1, "view", 1.0),
+            (2, _ts(10), 1, "click", 2.0),
+            (3, _ts(50), 1, "purchase", 3.0),
+            (4, dt.datetime(2024, 1, 1, 2, 20), 1, "view", 4.0),
+            # user 2: single event
+            (5, _ts(0), 2, "view", 5.0),
+        ],
+    )
+    rows = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["n_purchases"])
+        for r in q46_sessionize(spark, sf).collect()
+    }
+    assert rows == {
+        (1, 1): (2, 0),
+        (1, 2): (1, 1),
+        (1, 3): (1, 0),
+        (2, 1): (1, 0),
+    }
+
+
+def test_sessionize_exact_boundary_not_split(spark, tmp_path):
+    # gap of EXACTLY 30:00.000000 is not > the threshold -> same session
+    sf = _write_events(
+        spark, tmp_path,
+        [(1, _ts(0), 1, "view", 1.0), (2, _ts(30), 1, "view", 1.0),
+         (3, _ts(30, 0, 1), 1, "view", 1.0)],  # +1 us past an exact gap
+    )
+    rows = q46_sessionize(spark, sf).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 3
+
+
+def _write_docs(spark, tmp_path, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_tfidf_ranking_and_score(spark, tmp_path):
+    import math
+
+    sf = _write_docs(
+        spark, tmp_path,
+        [(1, "a a a b b c", "en"), (2, "b b b b z z c", "en")],
+    )
+    out = q47_tfidf_topterms(spark, sf).collect()
+    r = {(x["doc_id"], x["rank"]): (x["token"], x["tf"], x["df"]) for x in out}
+    # doc 1: a(3), b(2), c(1); doc 2: b(4), z(2), c(1)
+    assert r[(1, 1)] == ("a", 3, 1) and r[(1, 2)] == ("b", 2, 2)
+    assert r[(2, 1)] == ("b", 4, 2) and r[(2, 2)] == ("z", 2, 1)
+    sc = {(x["doc_id"], x["token"]): x["tfidf"] for x in out}
+    assert sc[(1, "a")] == pytest.approx(3 * math.log(2.0 / 1), rel=1e-12)
+    assert sc[(2, "b")] == pytest.approx(4 * math.log(2.0 / 2), abs=1e-12)
+
+
+def test_pii_scrub_redacts(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, [(777, "hello world", "en")])
+    row = q48_pii_scrub(spark, sf).collect()[0]
+    assert row["n_emails"] == 1 and row["n_phones"] == 1
+    # scrubbing is idempotent: the md5 equals md5 of the expected plain text
+    import hashlib
+
+    want = "hello world contact <EMAIL> or <PHONE>"
+    assert row["scrubbed_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_stratified_sample_threshold_and_determinism(spark, tmp_path):
+    import hashlib
+
+    rows = [(i, f"doc {i}", "en" if i % 2 == 0 else "fr") for i in range(200)]
+    sf = _write_docs(spark, tmp_path, rows)
+    kept = sorted(r["doc_id"] for r in q49_stratified_sample(spark, sf).collect())
+    want = sorted(
+        i for i, _, lang in rows
+        if hashlib.md5(str(i).encode()).hexdigest()[:2]
+        < ("80" if lang == "en" else "33")
+    )
+    assert kept == want
+    # and the en stratum keeps roughly 2.5x the fr stratum
+    n_en = sum(1 for i in kept if i % 2 == 0)
+    n_fr = len(kept) - n_en
+    assert n_en > n_fr
