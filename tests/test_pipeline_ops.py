@@ -165,3 +165,47 @@ def test_stratified_sample_threshold_and_determinism(spark, tmp_path):
     n_en = sum(1 for i in kept if i % 2 == 0)
     n_fr = len(kept) - n_en
     assert n_en > n_fr
+
+
+def test_chunking_boundaries(spark, tmp_path):
+    from tzspark.queries_text import q50_chunk_documents
+
+    sf = _write_docs(
+        spark, tmp_path,
+        [
+            (1, " ".join(["w"] * 32), "en"),   # exactly one window
+            (2, " ".join(["w"] * 33), "en"),   # one token over -> 2 chunks
+            (3, " ".join(["w"] * 80), "en"),   # (80-32+23)//24+1 = 3 chunks
+            (4, "only four tokens here", "en"),  # shorter than size
+        ],
+    )
+    rows = q50_chunk_documents(spark, sf).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_chunk_tokens"]))
+    for v in per.values():
+        v.sort()
+    assert per[1] == [(0, 32)]
+    assert per[2] == [(0, 32), (1, 9)]      # tail window: tokens 25..33
+    assert per[3] == [(0, 32), (1, 32), (2, 32)]  # tokens 49..80
+    assert per[4] == [(0, 4)]
+
+
+def test_sequence_pack_offsets(spark, tmp_path):
+    from tzspark.queries_text import q51_sequence_pack
+
+    sf = _write_docs(
+        spark, tmp_path,
+        [
+            (1, " ".join(["w"] * 2000), "en"),  # off 0, ends in seq 0
+            (2, " ".join(["w"] * 100), "en"),   # off 2000, spills into seq 1
+            (3, " ".join(["w"] * 10), "en"),    # off 2100 -> seq 1
+            (4, " ".join(["w"] * 5), "fr"),     # separate lang stream
+        ],
+    )
+    r = {x["doc_id"]: (x["seq_start"], x["seq_end"], x["off_in_seq"])
+         for x in q51_sequence_pack(spark, sf).collect()}
+    assert r[1] == (0, 0, 0)
+    assert r[2] == (0, 1, 2000)   # crosses the 2048 boundary
+    assert r[3] == (1, 1, 52)
+    assert r[4] == (0, 0, 0)

@@ -1241,7 +1241,116 @@ WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
 """
 
 
+# --- document chunking (overlapping context windows) ------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def q50_chunk_documents(spark, sf_dir):
+    """Split every document into overlapping token windows (size 32, stride
+    24) — the context-window chunking step before embedding/training. Chunk
+    count uses pure non-negative integer arithmetic
+    ((max(n-size,0)+stride-1) div stride + 1) so both engines agree without
+    float ceil or negative floor-division edge cases; per-chunk text is a
+    1-based clamped array slice. Scale shape: one explode per doc (no
+    shuffle at all — the operator is a flatMap)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    extra = F.greatest(n - _CHUNK_SIZE, F.lit(0))
+    n_chunks = F.floor((extra + (_CHUNK_STRIDE - 1)) / _CHUNK_STRIDE) + 1
+    t = d.select(
+        "doc_id", toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_SIZE
+    )
+    return t.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(sl).alias("n_chunk_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )
+
+
+Q50_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ((GREATEST(len(string_split(text, ' ')) - {_CHUNK_SIZE}, 0)
+           + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}) + 1 AS n_chunks
+  FROM documents
+),
+c AS (
+  SELECT d.doc_id, d.toks, s.v AS chunk_idx
+  FROM d JOIN (SELECT unnest(generate_series(0, 1023)) AS v) s
+    ON s.v < d.n_chunks
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                 chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS INTEGER)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                                chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' '))
+         AS chunk_md5
+FROM c
+"""
+
+
+# --- sequence packing (concat-then-chunk) -----------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def q51_sequence_pack(spark, sf_dir):
+    """Concat-then-chunk sequence packing: documents are concatenated in a
+    deterministic order (lang, doc_id) per language stream and cut into
+    fixed 2048-token training sequences; each doc reports the sequence ids
+    it starts/ends in and its offset in the first one. Pure BIGINT window
+    cumsum — one shuffle on lang, exact in both engines. (This is the
+    GPT-style packing that admits document spill across sequence
+    boundaries; first-fit packing without splitting is inherently
+    sequential and intentionally not modeled.)"""
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return d.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor(off / _PACK_BUDGET).alias("seq_start"),
+        F.floor((off + F.col("n_tokens") - 1) / _PACK_BUDGET).alias("seq_end"),
+        (off % _PACK_BUDGET).alias("off_in_seq"),
+    )
+
+
+Q51_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+o AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+    AS off
+  FROM d
+)
+SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+       off // {_PACK_BUDGET} AS seq_start,
+       (off + n_tokens - 1) // {_PACK_BUDGET} AS seq_end,
+       off % {_PACK_BUDGET} AS off_in_seq
+FROM o
+"""
+
+
 TEXT_QUERIES = {
+    "q50_chunk_documents": (q50_chunk_documents, Q50_SQL),
+    "q51_sequence_pack": (q51_sequence_pack, Q51_SQL),
     "q47_tfidf_topterms": (q47_tfidf_topterms, Q47_SQL),
     "q48_pii_scrub": (q48_pii_scrub, Q48_SQL),
     "q49_stratified_sample": (q49_stratified_sample, Q49_SQL),
