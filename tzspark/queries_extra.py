@@ -5,11 +5,12 @@ even the image-decode statistics are value-level SQL-expressible: the
 oracles below reproduce the coordinate synthesis (splitmix64 in HUGEINT
 arithmetic), the pixel synthesis (gradient + sinusoid, verified bit-exact
 between numpy and DuckDB's sin over the whole argument domain), the codec
-decode (qnt dequantize), the nearest-neighbor resize gather, and PSNR from
-exact squared-error sums. Only the full concave-zone engine (q27, ray-cast
-PIP over arbitrary polygons) and the streaming execution (q31) remain
-rows-only, value-pinned in tests/ against the committed float32 oracle
-(SURVEY.md §5).
+decode (qnt dequantize), the nearest-neighbor resize gather, PSNR from
+exact squared-error sums, and even the full concave-zone engine (q27: ring
+edges inlined as literals + the float32 even-odd ray cast replayed in
+FLOAT arithmetic). Only the streaming execution (q31) remains rows-only —
+a structured-streaming run is not SQL-expressible — value-pinned in tests/
+against the batch answer (SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -458,10 +459,94 @@ def q26_tile_raster(spark, sf_dir):
     )
 
 
+def _q27_sql() -> str:
+    """Value-level oracle for the FULL concave-zone engine: the synthetic
+    zone set's ring edges are inlined as SQL literals (f32 values round-trip
+    exactly through their shortest decimal repr) and the reference's
+    float32 even-odd ray cast (geom.ray_intersects_segment_scalar,
+    polygon.go:113-116) is reproduced op for op in FLOAT arithmetic —
+    DuckDB FLOAT binary ops round to float32 per op exactly like the numpy
+    kernel (verified bit-equal on probe chains). NULLIF guards the
+    denominator; when the strict straddle test holds the denominator is
+    provably nonzero, matching the kernel's reachability argument
+    (SURVEY.md §1.3). Unmatched points fall to the kNN argmin over zone
+    MBR clamp distances in float64 (bbox_clamp_dist2_f64's documented
+    SQL form), tie-break min zone_id."""
+    from .geom import ring_edges
+    from .zones import make_zones
+
+    zones = make_zones(n_coast=8000)
+    edge_rows, box_rows = [], []
+    for z in zones:
+        box_rows.append(
+            f"({z.zone_id},'{z.tzid}',{float(np.float32(z.bbox[0]))!r},"
+            f"{float(np.float32(z.bbox[1]))!r},{float(np.float32(z.bbox[2]))!r},"
+            f"{float(np.float32(z.bbox[3]))!r})"
+        )
+        if len(z.ring_lat) < 3:  # degenerate ring never matches (polygon.go:101)
+            continue
+        al, ag, bl, bg = ring_edges(z.ring_lat, z.ring_lng)
+        for k in range(al.shape[0]):
+            edge_rows.append(
+                f"({z.zone_id},{float(al[k])!r},{float(ag[k])!r},"
+                f"{float(bl[k])!r},{float(bg[k])!r})"
+            )
+    return f"""
+WITH co AS ({COORDS_SQL}),
+edges AS (
+  SELECT zone_id, CAST(alat AS FLOAT) AS alat, CAST(alng AS FLOAT) AS alng,
+         CAST(blat AS FLOAT) AS blat, CAST(blng AS FLOAT) AS blng
+  FROM (VALUES {",".join(edge_rows)}) t(zone_id, alat, alng, blat, blng)
+),
+boxes AS (
+  SELECT zone_id, tzid, CAST(min_lat AS FLOAT) AS min_lat,
+         CAST(min_lng AS FLOAT) AS min_lng, CAST(max_lat AS FLOAT) AS max_lat,
+         CAST(max_lng AS FLOAT) AS max_lng
+  FROM (VALUES {",".join(box_rows)}) t(zone_id, tzid, min_lat, min_lng, max_lat, max_lng)
+),
+par AS (
+  SELECT co.i, e.zone_id,
+         SUM(CASE WHEN (e.alng > co.lng) <> (e.blng > co.lng)
+                   AND co.lat < ((e.blat - e.alat) * (co.lng - e.alng))
+                                / NULLIF(e.blng - e.alng, CAST(0 AS FLOAT))
+                              + e.alat
+                  THEN 1 ELSE 0 END) AS crossings
+  FROM co CROSS JOIN edges e
+  GROUP BY co.i, e.zone_id
+),
+res AS (
+  SELECT i, MIN(CASE WHEN crossings % 2 = 1 THEN zone_id END) AS rz
+  FROM par GROUP BY i
+),
+knn AS (
+  SELECT p.i, b.zone_id,
+         ROW_NUMBER() OVER (PARTITION BY p.i ORDER BY
+            POWER(GREATEST(CAST(b.min_lat AS DOUBLE) - CAST(p.lat AS DOUBLE),
+                           CAST(p.lat AS DOUBLE) - CAST(b.max_lat AS DOUBLE), 0), 2)
+          + POWER(GREATEST(CAST(b.min_lng AS DOUBLE) - CAST(p.lng AS DOUBLE),
+                           CAST(p.lng AS DOUBLE) - CAST(b.max_lng AS DOUBLE), 0), 2),
+            b.zone_id) AS rn
+  FROM (SELECT co.i, co.lat, co.lng FROM co JOIN res USING (i) WHERE res.rz IS NULL) p
+  CROSS JOIN boxes b
+),
+fin AS (
+  SELECT r.i, CAST(COALESCE(r.rz, k.zone_id) AS INTEGER) AS zone_id,
+         r.rz IS NULL AS via_knn
+  FROM res r LEFT JOIN (SELECT i, zone_id FROM knn WHERE rn = 1) k USING (i)
+)
+SELECT b.tzid, COUNT(*) AS n_images,
+       CAST(SUM(CASE WHEN via_knn THEN 1 ELSE 0 END) AS BIGINT) AS n_via_knn
+FROM fin JOIN (SELECT DISTINCT zone_id, tzid FROM boxes) b USING (zone_id)
+GROUP BY b.tzid
+"""
+
+
 def q27_full_engine_synthetic(spark, sf_dir):
     """The flagship lookup against the full synthetic zone set (concave,
-    holes both decoder-quirk ways, 20k-vertex coastline, oceans, kNN strip):
-    per-tzid assignment counts. Value-checked in tests vs the float32 oracle."""
+    holes both decoder-quirk ways, 8k-vertex coastline, oceans, kNN strip):
+    per-tzid assignment counts. Now ALSO hash-checked against a DuckDB
+    oracle that inlines every ring edge and replays the float32 ray cast in
+    SQL (_q27_sql) — plus the original pytest pin vs the float32 oracle."""
     from .datasets import images_from_events
     from .engine import assign_timezones, broadcast_cover, zone_dim_df
     from .zones import make_zones
@@ -557,3 +642,6 @@ EXTRA_QUERIES = {
     "q30_resize": q30_resize,
     "q31_stream_assign": q31_stream_assign,
 }
+
+# _q27_sql needs the definitions above; register it after the dict literals.
+EXTRA_ORACLES["q27_full_engine_synthetic"] = _q27_sql()
