@@ -68,6 +68,22 @@ class TimezoneLookup:
 
         return cls(zones_from_geojson_zip(path, mode), **kw)
 
+    @classmethod
+    def from_reference_binary(cls, path: str, **kw):
+        """Load a reference-format v2 binary db (timezone.go Save output —
+        byte layout reproduced in binfmt.py) and compile the cover from it.
+        A reference user's existing ``timezone.data`` works as-is."""
+        from .binfmt import load_binary
+
+        return cls(load_binary(path), **kw)
+
+    def save_reference_binary(self, path: str) -> int:
+        """Write the zone set in the reference's exact v2 binary format
+        (incl. its headerLength quirk), readable by Timezonecache.Load."""
+        from .binfmt import save_binary
+
+        return save_binary(self.zones, path)
+
     # -- compiled-cover cache (R9: rebuild-on-load, amortized by caching) ----
 
     def _content_key(self) -> str:
