@@ -28,7 +28,12 @@ def main(argv=None):
         "import.go:68-90). NOT available in this offline build — download the "
         "zip yourself and pass it via -zip.",
     )
-    ap.add_argument("-db", default="zones.parquet", help="zone db path (parquet)")
+    ap.add_argument(
+        "-db", default="zones.parquet",
+        help="zone db path; .parquet = engine snapshot, anything else = the "
+        "reference's v2 binary format (timezone.go Save layout, binfmt.py) — "
+        "an existing timezone.data works directly",
+    )
     ap.add_argument("-lat", type=float, default=-31.9523)  # cmd/main.go:21
     ap.add_argument("-lng", type=float, default=115.8613)  # cmd/main.go:22
     ap.add_argument("-synthetic", action="store_true",
@@ -57,7 +62,10 @@ def main(argv=None):
         if not args.zipfile:
             ap.error("-build requires -zip <geojson.zip> (or -url, unavailable offline)")
         tl = TimezoneLookup.from_geojson_zip(args.zipfile)
-        tl.save(args.db)
+        if args.db.endswith(".parquet"):
+            tl.save(args.db)
+        else:
+            tl.save_reference_binary(args.db)
         print(f"compiled {len(tl.zones)} zones -> {args.db}")
         return 0
 
@@ -66,8 +74,10 @@ def main(argv=None):
             from .zones import make_zones
 
             tl = TimezoneLookup(make_zones())
-        else:
+        elif args.db.endswith(".parquet"):
             tl = TimezoneLookup.load(args.db)
+        else:
+            tl = TimezoneLookup.from_reference_binary(args.db)
         try:
             r = tl.search(args.lat, args.lng, knn=not args.no_knn,
                           protocol=args.protocol)
