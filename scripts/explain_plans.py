@@ -151,6 +151,27 @@ def main():
     if n_py6 != 1:
         failures.append(f"cover-join: {n_py6} Python stages (expected exactly 1)")
 
+    # 6b. full join-path assignment: the narrow points projection and the
+    # per-key zone map are cached, so the upstream plan (scan + any extract
+    # UDF) is not re-evaluated per consumer branch — the static plan holds
+    # at most 3 Python stages (cached-lineage copy, boundary PIP, output
+    # side) where the round-3 initial form had 6
+    from tzspark.covertable import assign_via_join
+
+    p6b = plan_of(
+        assign_via_join(pts_df(spark, sf_small), "event_id", cov)
+        .groupBy("zone_id")
+        .count()
+    )
+    sections.append(("full join-path assignment (cached narrow frames)", p6b))
+    n_py6b = len(re.findall(r"ArrowEvalPython", p6b))
+    if n_py6b > 3:
+        failures.append(
+            f"assign-join: {n_py6b} Python stages (expected <= 3 with caching)"
+        )
+    if "InMemoryTableScan" not in p6b:
+        failures.append("assign-join: narrow frames are not cached")
+
     # 7. as-of join (union-and-last-value form): NO join operator at all —
     # one Exchange on user_id feeds the window; sessionization's two windows
     # share the same partitioning, so its only extra Exchange is the final

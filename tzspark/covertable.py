@@ -263,6 +263,60 @@ def _pip_pairs_udf():
     return _pip
 
 
+def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
+    """(_k, _lat, _lng) -> (_k, _zid): argmin containing zone per key,
+    MATCHED keys only. Interior claims join on (res, ancestor cell);
+    boundary cells join on the max-res cell and refine with the pruned-edge
+    float32 ray cast; both candidate streams min-aggregate per key."""
+    anc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("res"),
+                    cell_id_col(F.col("_lat"), F.col("_lng"), r).alias("cell_id"),
+                )
+                for r in range(cover.base_res, cover.max_res + 1)
+            ]
+        )
+    ).alias("a")
+    pi = pts.select("_k", anc).select("_k", "a.res", "a.cell_id")
+    im = pi.join(cover.interior.hint("shuffle_hash"), ["res", "cell_id"]).select(
+        "_k", F.col("zmin").alias("cand")
+    )
+
+    pb = pts.withColumn(
+        "cell_id", cell_id_col(F.col("_lat"), F.col("_lng"), cover.max_res)
+    )
+    jb = pb.join(cover.boundary.hint("shuffle_hash"), "cell_id")
+    inside = _pip_pairs_udf()(
+        F.col("_lat"), F.col("_lng"),
+        F.col("ea_lat"), F.col("ea_lng"), F.col("eb_lat"), F.col("eb_lng"),
+    )
+    bm = jb.where(inside).select("_k", F.col("zone_id").alias("cand"))
+    return im.unionAll(bm).groupBy("_k").agg(F.min("cand").alias("_zid"))
+
+
+def _knn_best(pts: DataFrame, cover: "CoverTables") -> DataFrame:
+    """(_k, _lat, _lng) -> (_k, _zid): nearest zone by squared MBR clamp
+    distance (float64 from float32 coords, tie-break min zone_id) via the
+    coarse-cell candidate equi-join — pure column arithmetic, no UDF."""
+    p = pts.withColumn(
+        "knn_cell", cell_id_col(F.col("_lat"), F.col("_lng"), cover.knn_res)
+    )
+    j = p.join(cover.knn.hint("shuffle_hash"), "knn_cell")
+    la = F.col("_lat").cast("double")
+    lg = F.col("_lng").cast("double")
+    dlat = F.greatest(F.col("min_lat") - la, la - F.col("max_lat"), F.lit(0.0))
+    dlng = F.greatest(F.col("min_lng") - lg, lg - F.col("max_lng"), F.lit(0.0))
+    d2 = dlat * dlat + dlng * dlng
+    return (
+        j.withColumn("d2", d2)
+        .groupBy("_k")
+        .agg(F.min(F.struct(F.col("d2"), F.col("zone_id"))).alias("b"))
+        .select("_k", F.col("b.zone_id").alias("_zid"))
+    )
+
+
 def resolve_via_join(
     points: DataFrame,
     key_col: str,
@@ -294,34 +348,7 @@ def resolve_via_join(
         F.col(lat_col).cast("float").alias("_lat"),
         F.col(lng_col).cast("float").alias("_lng"),
     )
-
-    anc = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("res"),
-                    cell_id_col(F.col("_lat"), F.col("_lng"), r).alias("cell_id"),
-                )
-                for r in range(cover.base_res, cover.max_res + 1)
-            ]
-        )
-    ).alias("a")
-    pi = pts.select("_k", anc).select("_k", "a.res", "a.cell_id")
-    im = pi.join(cover.interior.hint("shuffle_hash"), ["res", "cell_id"]).select(
-        "_k", F.col("zmin").alias("cand")
-    )
-
-    pb = pts.withColumn(
-        "cell_id", cell_id_col(F.col("_lat"), F.col("_lng"), cover.max_res)
-    )
-    jb = pb.join(cover.boundary.hint("shuffle_hash"), "cell_id")
-    inside = _pip_pairs_udf()(
-        F.col("_lat"), F.col("_lng"),
-        F.col("ea_lat"), F.col("ea_lng"), F.col("eb_lat"), F.col("eb_lng"),
-    )
-    bm = jb.where(inside).select("_k", F.col("zone_id").alias("cand"))
-
-    cands = im.unionAll(bm).groupBy("_k").agg(F.min("cand").alias("_zid"))
+    cands = _resolve_cands(pts, cover)
     return (
         points.join(cands, F.col(key_col) == F.col("_k"), "left")
         .drop("_k")
@@ -347,21 +374,8 @@ def knn_via_join(
         F.col(key_col).alias("_k"),
         F.col(lat_col).cast("float").alias("_lat"),
         F.col(lng_col).cast("float").alias("_lng"),
-    ).withColumn(
-        "knn_cell", cell_id_col(F.col("_lat"), F.col("_lng"), cover.knn_res)
     )
-    j = pts.join(cover.knn.hint("shuffle_hash"), "knn_cell")
-    la = F.col("_lat").cast("double")
-    lg = F.col("_lng").cast("double")
-    dlat = F.greatest(F.col("min_lat") - la, la - F.col("max_lat"), F.lit(0.0))
-    dlng = F.greatest(F.col("min_lng") - lg, lg - F.col("max_lng"), F.lit(0.0))
-    d2 = dlat * dlat + dlng * dlng
-    best = (
-        j.withColumn("d2", d2)
-        .groupBy("_k")
-        .agg(F.min(F.struct(F.col("d2"), F.col("zone_id"))).alias("b"))
-        .select("_k", F.col("b.zone_id").alias("_zid"))
-    )
+    best = _knn_best(pts, cover)
     return (
         points.join(best, F.col(key_col) == F.col("_k"), "inner")
         .drop("_k")
@@ -376,21 +390,52 @@ def assign_via_join(
     cover: CoverTables,
     lat_col: str = "lat",
     lng_col: str = "lng",
+    persist: bool = True,
 ) -> DataFrame:
     """resolve_via_join + kNN fallback for unmatched points — the full
     engine assignment (engine.assign_udf semantics) with zero broadcasts.
-    Adds zone_id + via_knn to ``points``."""
-    r = resolve_via_join(points, key_col, cover, lat_col, lng_col)
-    matched = r.where(F.col("zone_id") != -1).withColumn("via_knn", F.lit(False))
-    un = r.where(F.col("zone_id") == -1).drop("zone_id")
-    k = knn_via_join(un, key_col, cover, lat_col, lng_col).withColumn(
-        "via_knn", F.lit(True)
+    Adds zone_id + via_knn to ``points``.
+
+    Shape: the heavy ``points`` plan is consumed exactly ONCE (the final
+    key join); resolve and kNN run over a NARROW (key, lat, lng) projection
+    whose per-key result is a (key, zone_id, via_knn) map. With
+    persist=True (default) the narrow projection and the map are
+    MEMORY_AND_DISK-cached — without it, the matched/unmatched branching
+    re-evaluated the whole upstream plan per consumer (for the image front
+    half: the parquet scan + GPS-extract UDF appeared 6x in the static
+    plan). Streaming callers pass persist=False: per-microbatch persists
+    accumulate across triggers.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    pts = points.select(
+        F.col(key_col).alias("_k"),
+        F.col(lat_col).cast("float").alias("_lat"),
+        F.col(lng_col).cast("float").alias("_lng"),
     )
-    return matched.unionByName(k)
+    if persist:
+        pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _resolve_cands(pts, cover)  # (_k, _zid) for MATCHED keys only
+    if persist:
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    un = pts.join(cands.select("_k"), "_k", "left_anti")
+    kbest = _knn_best(un, cover)  # (_k, _zid) for the unmatched keys
+    zmap = cands.withColumn("via_knn", F.lit(False)).unionByName(
+        kbest.withColumn("via_knn", F.lit(True))
+    )
+    return (
+        points.join(zmap, F.col(key_col) == F.col("_k"), "inner")
+        .drop("_k")
+        .withColumn("zone_id", F.col("_zid").cast("int"))
+        .drop("_zid")
+    )
 
 
 def assign_images_via_join(
-    images: DataFrame, cover: CoverTables, key_col: str = "image_id"
+    images: DataFrame,
+    cover: CoverTables,
+    key_col: str = "image_id",
+    persist: bool = True,
 ) -> DataFrame:
     """The image-table front half + the join assignment: GPS extract (header
     bytes only cross into Python), quarantine (bad blob OR out-of-domain
@@ -414,4 +459,4 @@ def assign_images_via_join(
     ok = pts.where(~F.col("quarantined")).withColumn(
         "cell_id", cell_id_col(F.col("lat"), F.col("lng"), cover.max_res)
     )
-    return assign_via_join(ok, key_col, cover)
+    return assign_via_join(ok, key_col, cover, persist=persist)

@@ -66,9 +66,11 @@ def stream_assign_join(
     from .covertable import assign_images_via_join
 
     def _process(batch_df: DataFrame, batch_id: int):
-        out = assign_images_via_join(batch_df, cover, key_col).withColumn(
-            "_batch_id", F.lit(batch_id)
-        )
+        # persist=False: per-microbatch persists would accumulate across
+        # triggers with nobody to unpersist them
+        out = assign_images_via_join(
+            batch_df, cover, key_col, persist=False
+        ).withColumn("_batch_id", F.lit(batch_id))
         # idempotent replay: a re-delivered batch replaces its own partition
         out.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
