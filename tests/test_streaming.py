@@ -155,3 +155,73 @@ def test_stream_assign_join_equals_batch(spark, tmp_path):
     assert len(got) == len(want)
     assert (got["zone_id"] == want["zone_id"]).all()
     assert (got["via_knn"] == want["via_knn"]).all()
+
+
+def test_stream_sessionize_closed_sessions_equal_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: every CLOSED session emitted by
+    the stream equals the batch q46_sessionize row (a session closes when
+    its user's next session starts, so the batch's last session per user is
+    exactly the still-open state)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tzspark.queries_text import q46_sessionize
+    from tzspark.streaming import run_available_now, stream_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    # time-ordered single-file chunks with increasing mtimes, so the file
+    # stream delivers per-user events in event-time order across triggers
+    # (the operator's documented arrival contract)
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # parquet TIMESTAMP_NTZ(us)
+    d = str(tmp_path / "evstream")
+    os.makedirs(d)
+    for i, chunk in enumerate(np.array_split(pdf, 6)):
+        p = f"{d}/chunk{i:02d}.parquet"
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    run_available_now(
+        stream_sessionize(stream),
+        str(tmp_path / "ckpt"),
+        "sess_stream_out",
+        output_mode="append",
+    )
+    got = (
+        spark.table("sess_stream_out")
+        .toPandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+
+    batch = q46_sessionize(spark, sf).toPandas()
+    last = batch.groupby("user_id")["session_idx"].transform("max")
+    want = (
+        batch[batch["session_idx"] < last]
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+
+    assert len(got) > 50  # the fixture really exercises multi-session users
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_idx", "session_start", "session_end",
+             "n_events", "n_purchases"]],
+        want[["user_id", "session_idx", "session_start", "session_end",
+              "n_events", "n_purchases"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(
+        got["total_value"].to_numpy(), want["total_value"].to_numpy(),
+        rtol=0, atol=1e-9,
+    )

@@ -134,6 +134,88 @@ def stream_dedup(
     return images_stream.dropDuplicates([key])
 
 
+SESSION_STATE_SCHEMA = (
+    "start_us LONG, last_us LONG, session_idx LONG, n_events LONG, "
+    "n_purchases LONG, total_value DOUBLE"
+)
+
+SESSION_OUT_SCHEMA = (
+    "user_id LONG, session_idx LONG, session_start TIMESTAMP, "
+    "session_end TIMESTAMP, n_events LONG, n_purchases LONG, "
+    "total_value DOUBLE"
+)
+
+_GAP_US_DEFAULT = 30 * 60 * 1_000_000
+
+
+def stream_sessionize(events_stream: DataFrame, gap_us: int = _GAP_US_DEFAULT):
+    """Custom STATEFUL streaming operator: sessionization with
+    ``applyInPandasWithState`` — the arbitrary-state API the built-in
+    windowed aggregations can't express (a session's extent is data-driven,
+    not a fixed window).
+
+    Per user the state carries (session_start, last_ts, running counters);
+    a row with gap > ``gap_us`` CLOSES the current session (emitted
+    downstream, append mode) and opens the next. Sessions therefore close
+    exactly when their user's next session begins — NoTimeout keeps the
+    emission deterministic for replay/backfill (batch==stream pinned in
+    tests); a production deployment that must flush idle sessions without
+    waiting for the user's next event would use EventTimeTimeout + a
+    watermark, trading that determinism for bounded latency. Assumes
+    per-user event-time-ordered arrival across triggers (file/Kafka sources
+    partitioned by time), the standard contract for this operator.
+
+    Output schema matches the batch q46_sessionize rollup, so
+    closed-session rows are directly comparable against the batch answer.
+    """
+    import pandas as pd
+
+    def _fn(key, pdfs, state):
+        (user_id,) = key
+        ev = pd.concat(list(pdfs)).sort_values("ts")
+        if state.exists:
+            start_us, last_us, idx, n, npur, tot = state.get
+        else:
+            start_us = last_us = None
+            idx, n, npur, tot = 0, 0, 0, 0.0
+        out = []
+        for ts, et, val in zip(ev["ts"], ev["event_type"], ev["value"]):
+            us = ts.value // 1000  # pandas ns -> engine microseconds
+            if start_us is None:
+                idx += 1
+                start_us, n, npur, tot = us, 0, 0, 0.0
+            elif us - last_us > gap_us:
+                out.append(
+                    (user_id, idx, pd.Timestamp(start_us * 1000),
+                     pd.Timestamp(last_us * 1000), n, npur, tot)
+                )
+                idx += 1
+                start_us, n, npur, tot = us, 0, 0, 0.0
+            last_us = us
+            n += 1
+            npur += int(et == "purchase")
+            tot += float(val)
+        state.update((start_us, last_us, idx, n, npur, tot))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_idx", "session_start", "session_end",
+                    "n_events", "n_purchases", "total_value",
+                ],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     df: DataFrame, checkpoint_dir: str, sink_name: str, output_mode: str = None
 ):
