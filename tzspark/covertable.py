@@ -168,16 +168,23 @@ def _df(spark: SparkSession, tbl, schema) -> DataFrame:
 
 
 class CoverTables:
-    """The compiled cover as three DataFrames (interior / boundary / knn)."""
+    """The compiled cover as three DataFrames (interior / boundary / knn).
+
+    ``keys`` names extra partition columns present in all three tables
+    (e.g. ('tenant',) after union_tenant_covers); every probe join then
+    matches on keys + cell columns, so MANY zone sets resolve in ONE job.
+    """
 
     def __init__(self, interior: DataFrame, boundary: DataFrame, knn: DataFrame,
-                 base_res: int, max_res: int, knn_res: int):
+                 base_res: int, max_res: int, knn_res: int,
+                 keys: tuple = ()):
         self.interior = interior
         self.boundary = boundary
         self.knn = knn
         self.base_res = base_res
         self.max_res = max_res
         self.knn_res = knn_res
+        self.keys = tuple(keys)
 
     @classmethod
     def from_index(cls, spark: SparkSession, idx: CompiledIndex) -> "CoverTables":
@@ -186,6 +193,39 @@ class CoverTables:
             _df(spark, _boundary_arrow(idx), BOUNDARY_SCHEMA),
             _df(spark, _knn_arrow(idx), KNN_SCHEMA),
             idx.base_res, idx.max_res, idx.knn_res or DEFAULT_KNN_RES,
+        )
+
+    @classmethod
+    def union_tenants(
+        cls, spark: SparkSession, covers: dict
+    ) -> "CoverTables":
+        """Union per-tenant compiled covers into ONE tenant-keyed cover.
+
+        This is the multi-tenant regime that motivates the join path in the
+        first place: N zone sets whose combined size exceeds any broadcast
+        budget become rows of shared tables, and the probe is still a
+        single shuffle-partitioned job — join keys (tenant, cell_id). All
+        tenants must share the same resolutions (one compile config).
+        ``covers`` maps tenant id -> CompiledIndex.
+        """
+        parts = {t: cls.from_index(spark, idx) for t, idx in covers.items()}
+        first = next(iter(parts.values()))
+        for t, ct in parts.items():
+            if (ct.base_res, ct.max_res, ct.knn_res) != (
+                first.base_res, first.max_res, first.knn_res
+            ):
+                raise ValueError(f"tenant {t!r} compiled with different resolutions")
+
+        def _u(pick):
+            dfs = [pick(ct).withColumn("tenant", F.lit(t)) for t, ct in parts.items()]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+
+        return cls(
+            _u(lambda c: c.interior), _u(lambda c: c.boundary), _u(lambda c: c.knn),
+            first.base_res, first.max_res, first.knn_res, keys=("tenant",),
         )
 
     def save(self, path: str):
@@ -264,10 +304,12 @@ def _pip_pairs_udf():
 
 
 def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
-    """(_k, _lat, _lng) -> (_k, _zid): argmin containing zone per key,
-    MATCHED keys only. Interior claims join on (res, ancestor cell);
-    boundary cells join on the max-res cell and refine with the pruned-edge
-    float32 ray cast; both candidate streams min-aggregate per key."""
+    """(_k, [keys...], _lat, _lng) -> (_k, _zid): argmin containing zone per
+    key, MATCHED keys only. Interior claims join on (keys, res, ancestor
+    cell); boundary cells join on (keys, max-res cell) and refine with the
+    pruned-edge float32 ray cast; both candidate streams min-aggregate per
+    key. ``cover.keys`` columns (e.g. tenant) must be present in pts."""
+    ks = list(cover.keys)
     anc = F.explode(
         F.array(
             *[
@@ -279,15 +321,15 @@ def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
             ]
         )
     ).alias("a")
-    pi = pts.select("_k", anc).select("_k", "a.res", "a.cell_id")
-    im = pi.join(cover.interior.hint("shuffle_hash"), ["res", "cell_id"]).select(
-        "_k", F.col("zmin").alias("cand")
-    )
+    pi = pts.select("_k", *ks, anc).select("_k", *ks, "a.res", "a.cell_id")
+    im = pi.join(
+        cover.interior.hint("shuffle_hash"), [*ks, "res", "cell_id"]
+    ).select("_k", F.col("zmin").alias("cand"))
 
     pb = pts.withColumn(
         "cell_id", cell_id_col(F.col("_lat"), F.col("_lng"), cover.max_res)
     )
-    jb = pb.join(cover.boundary.hint("shuffle_hash"), "cell_id")
+    jb = pb.join(cover.boundary.hint("shuffle_hash"), [*ks, "cell_id"])
     inside = _pip_pairs_udf()(
         F.col("_lat"), F.col("_lng"),
         F.col("ea_lat"), F.col("ea_lng"), F.col("eb_lat"), F.col("eb_lng"),
@@ -297,13 +339,14 @@ def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
 
 
 def _knn_best(pts: DataFrame, cover: "CoverTables") -> DataFrame:
-    """(_k, _lat, _lng) -> (_k, _zid): nearest zone by squared MBR clamp
-    distance (float64 from float32 coords, tie-break min zone_id) via the
-    coarse-cell candidate equi-join — pure column arithmetic, no UDF."""
+    """(_k, [keys...], _lat, _lng) -> (_k, _zid): nearest zone by squared
+    MBR clamp distance (float64 from float32 coords, tie-break min zone_id)
+    via the (keys, coarse-cell) candidate equi-join — pure column
+    arithmetic, no UDF."""
     p = pts.withColumn(
         "knn_cell", cell_id_col(F.col("_lat"), F.col("_lng"), cover.knn_res)
     )
-    j = p.join(cover.knn.hint("shuffle_hash"), "knn_cell")
+    j = p.join(cover.knn.hint("shuffle_hash"), [*cover.keys, "knn_cell"])
     la = F.col("_lat").cast("double")
     lg = F.col("_lng").cast("double")
     dlat = F.greatest(F.col("min_lat") - la, la - F.col("max_lat"), F.lit(0.0))
@@ -347,6 +390,7 @@ def resolve_via_join(
         F.col(key_col).alias("_k"),
         F.col(lat_col).cast("float").alias("_lat"),
         F.col(lng_col).cast("float").alias("_lng"),
+        *[F.col(k) for k in cover.keys],
     )
     cands = _resolve_cands(pts, cover)
     return (
@@ -374,6 +418,7 @@ def knn_via_join(
         F.col(key_col).alias("_k"),
         F.col(lat_col).cast("float").alias("_lat"),
         F.col(lng_col).cast("float").alias("_lng"),
+        *[F.col(k) for k in cover.keys],
     )
     best = _knn_best(pts, cover)
     return (
@@ -412,6 +457,7 @@ def assign_via_join(
         F.col(key_col).alias("_k"),
         F.col(lat_col).cast("float").alias("_lat"),
         F.col(lng_col).cast("float").alias("_lng"),
+        *[F.col(k) for k in cover.keys],
     )
     if persist:
         pts = pts.persist(StorageLevel.MEMORY_AND_DISK)

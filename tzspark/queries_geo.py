@@ -574,7 +574,81 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q52_multi_tenant_resolve(spark, sf_dir):
+    """Multi-tenant lookup — the regime that MOTIVATES the join path: two
+    zone sets (tenant 'a' = the nation boxes, tenant 'b' = the same boxes
+    shifted +6 lat / +10 lng, all float32-exact) unioned into ONE
+    tenant-keyed cover (CoverTables.union_tenants) and resolved for a mixed
+    point stream in a single job — every probe join matches on
+    (tenant, cell_id), so N tenants cost one shuffle, not N broadcasts.
+    Oracle: per-tenant rectangle containment argmin + clamp-distance kNN
+    over the tenant-unioned box table."""
+    from .covertable import CoverTables, assign_via_join
+
+    zones_a = box_zones(spark, sf_dir)
+    zones_b = [
+        Zone(
+            z.zone_id, z.tzid,
+            np.asarray(z.ring_lat, F32) + F32(6.0),
+            np.asarray(z.ring_lng, F32) + F32(10.0),
+        )
+        for z in zones_a
+    ]
+    cov = CoverTables.union_tenants(
+        spark,
+        {
+            "a": compile_cover(zones_a, base_res=3, max_res=7),
+            "b": compile_cover(zones_b, base_res=3, max_res=7),
+        },
+    )
+    p = pts_df(spark, sf_dir).withColumn(
+        "tenant", F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    )
+    return assign_via_join(p, "event_id", cov).select(
+        "event_id", "tenant", "zone_id", "via_knn"
+    )
+
+
+Q52_SQL = f"""
+WITH pts AS ({PTS_SQL}),
+tp AS (
+  SELECT p.*, CASE WHEN p.event_id % 2 = 0 THEN 'a' ELSE 'b' END AS tenant
+  FROM pts p
+),
+boxes0 AS ({BOXES_SQL}),
+boxes AS (
+  SELECT 'a' AS tenant, zone_id, min_lat, min_lng, max_lat, max_lng FROM boxes0
+  UNION ALL
+  SELECT 'b', zone_id, min_lat + 6.0, min_lng + 10.0,
+         max_lat + 6.0, max_lng + 10.0 FROM boxes0
+),
+res AS (
+  SELECT p.event_id, p.tenant,
+         MIN(CASE WHEN {_CONTAIN_F32} THEN b.zone_id END) AS rz
+  FROM tp p JOIN boxes b ON b.tenant = p.tenant
+  GROUP BY p.event_id, p.tenant
+),
+knn AS (
+  SELECT p.event_id, b.zone_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY POWER(GREATEST(b.min_lat - CAST(p.lat AS FLOAT), CAST(p.lat AS FLOAT) - b.max_lat, 0), 2)
+                  + POWER(GREATEST(b.min_lng - CAST(p.lng AS FLOAT), CAST(p.lng AS FLOAT) - b.max_lng, 0), 2),
+                    b.zone_id) AS rn
+  FROM (SELECT t.event_id, t.tenant, t.lat, t.lng
+        FROM tp t JOIN res r ON r.event_id = t.event_id WHERE r.rz IS NULL) p
+  JOIN boxes b ON b.tenant = p.tenant
+)
+SELECT r.event_id, r.tenant,
+       CAST(COALESCE(r.rz, k.zone_id) AS INTEGER) AS zone_id,
+       r.rz IS NULL AS via_knn
+FROM res r
+LEFT JOIN (SELECT event_id, zone_id FROM knn WHERE rn = 1) k USING (event_id)
+"""
+
+
 GEO_QUERIES = {
+    "q52_multi_tenant_resolve": (q52_multi_tenant_resolve, Q52_SQL),
     "q28_frame_sample": (q28_frame_sample, Q28_SQL),
     "q36_pricing_summary": (q36_pricing_summary, Q36_SQL),
     "q01_validity_filter": (q01_validity_filter, Q01_SQL),
