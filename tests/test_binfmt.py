@@ -114,3 +114,44 @@ def test_truncated_file_rejected(tmp_path):
     open(p, "wb").write(raw[:-8])  # chop the blob tail
     with pytest.raises(ValueError, match="truncated"):
         load_binary(p)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=1, max_size=40,
+            ),
+            st.lists(
+                st.tuples(
+                    st.floats(-90, 90, width=32, allow_nan=False),
+                    st.floats(-180, 180, width=32, allow_nan=False),
+                ),
+                min_size=2, max_size=12,
+            ),
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_roundtrip_property(tmp_path_factory, zones_spec):
+    """Any zone list (arbitrary names, arbitrary f32 rings) survives a
+    save/load cycle bit-exactly and idempotently."""
+    p = str(tmp_path_factory.mktemp("binfmt") / "tz.data")
+    zones = [
+        Zone(i, name, np.array([v[0] for v in verts], F32),
+             np.array([v[1] for v in verts], F32))
+        for i, (name, verts) in enumerate(zones_spec)
+    ]
+    save_binary(zones, p)
+    back = load_binary(p)
+    assert [(z.tzid, z.ring_lat.tobytes(), z.ring_lng.tobytes()) for z in zones] \
+        == [(z.tzid, z.ring_lat.tobytes(), z.ring_lng.tobytes()) for z in back]
+    p2 = p + ".2"
+    save_binary(back, p2)
+    assert open(p, "rb").read() == open(p2, "rb").read()

@@ -120,3 +120,50 @@ def test_world_scale_join_parity(spark):
     )
     gk = _pd(knn_via_join(unmatched, "pid", cov), ["pid", "zone_id"])
     np.testing.assert_array_equal(gk["zone_id"].to_numpy(), want_knn)
+
+
+def test_union_tenants_isolation(spark):
+    """Multi-tenant cover: the same point resolves against ITS tenant's
+    zone set only — a point inside tenant A's box is offshore (kNN) for
+    tenant B, and each tenant's answer equals its own single-tenant
+    broadcast kernel."""
+    from tzspark.cells import Zone
+    from tzspark.geom import F32
+
+    za = [Zone(0, "A/Box", np.array([0, 0, 10, 10], F32),
+               np.array([0, 10, 10, 0], F32))]
+    zb = [Zone(0, "B/Box", np.array([40, 40, 50, 50], F32),
+               np.array([40, 50, 50, 40], F32))]
+    ia = compile_cover(za, base_res=3, max_res=7)
+    ib = compile_cover(zb, base_res=3, max_res=7)
+    cov = CoverTables.union_tenants(spark, {"a": ia, "b": ib})
+    assert cov.keys == ("tenant",)
+
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 2, 3, 4],
+                "lat": np.array([5.0, 5.0, 45.0, 45.0], np.float32),
+                "lng": np.array([5.0, 5.0, 45.0, 45.0], np.float32),
+                "tenant": ["a", "b", "a", "b"],
+            }
+        )
+    )
+    got = {
+        r["k"]: (r["zone_id"], r["via_knn"])
+        for r in assign_via_join(pts, "k", cov, persist=False).collect()
+    }
+    # (5,5): inside A's box; offshore for B -> kNN still lands on B's only zone
+    assert got[1] == (0, False)
+    assert got[2] == (0, True)
+    # (45,45): mirror image
+    assert got[3] == (0, True)
+    assert got[4] == (0, False)
+
+    # per-tenant equality vs the single-tenant kernels
+    la = np.array([5.0, 45.0], np.float32)
+    lg = np.array([5.0, 45.0], np.float32)
+    assert resolve_points(ia, la, lg).tolist() == [0, -1]
+    assert knn_fallback(ib, la[:1], lg[:1]).tolist() == [0]
