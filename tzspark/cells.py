@@ -585,10 +585,19 @@ def compile_cover(
             (zones[zidx].ring_lat, zones[zidx].ring_lng, base_res, max_res)
             for zidx in live
         ]
-        # no JVM alive on this path (or the caller explicitly asked for a
-        # pool): plain fork is safe and avoids forkserver's __main__
-        # re-import footgun
-        ctx = mp.get_context("fork" if "fork" in mp.get_all_start_methods() else "spawn")
+        # fork is fastest but unsafe under a live py4j JVM (children inherit
+        # locked JVM thread state); auto mode never reaches here with a JVM
+        # alive (the Spark branch catches it), so fork implies no JVM —
+        # an EXPLICIT workers= request with a session up gets spawn, which
+        # re-execs and cannot deadlock. Spawn's one constraint: the caller's
+        # __main__ must be importable (scripts/pytest yes; stdin/REPL no —
+        # such callers should leave workers=None and get the Spark path).
+        method = (
+            "fork"
+            if _active_spark() is None and "fork" in mp.get_all_start_methods()
+            else "spawn"
+        )
+        ctx = mp.get_context(method)
         with ctx.Pool(workers) as pool:
             covers = pool.map(_zone_cover_task, tasks, chunksize=max(1, len(tasks) // (workers * 8)))
     else:
