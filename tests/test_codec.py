@@ -118,3 +118,36 @@ def test_batch_psnr_audit_equals_scalar_path():
     fmts = np.array([r[2] for r in rows[:-1]])
     assert np.isinf(p[fmts != "qnt"]).all()
     assert (p[fmts == "qnt"] >= 40.0).all()
+
+
+def test_synth_pixels_batch_equals_scalar():
+    """The batched pixel synthesis (one broadcast per shape group) must be
+    bit-identical per row to the scalar kernel it replaces — the DuckDB
+    pixel oracles and the golden phash column both depend on these bytes."""
+    from tzspark.imagecodec import synth_pixels_batch
+
+    idx = np.array([0, 1, 2, 3, 300, 9999, 123456, 12345678901], dtype=np.int64)
+    for w, h in ((8, 8), (16, 16), (32, 24)):
+        batch = synth_pixels_batch(idx, w, h)
+        assert batch.shape == (idx.size, h, w, 3) and batch.dtype == np.uint8
+        for k, i in enumerate(idx):
+            assert np.array_equal(batch[k], synth_pixels(int(i), w, h)), (i, w, h)
+
+
+def test_synth_images_pdf_equals_encode_image():
+    """The vectorized table synthesis must match the per-row encode_image
+    composition byte-for-byte (payload bytes, phash, metadata columns)."""
+    from tzspark.datasets import FMTS, HS, WS, synth_coords, synth_images_pdf
+
+    idx = np.array([0, 1, 2, 5, 7, 11, 999, 10007, 123457], dtype=np.int64)
+    pdf = synth_images_pdf(idx)
+    lat, lng = synth_coords(idx)
+    for k, i in enumerate(idx):
+        i = int(i)
+        w, h, fmt = WS[i % 3], HS[i % 3], FMTS[i % 3]
+        buf, ph, _ = encode_image(i, float(lat[k]), float(lng[k]), w, h, fmt)
+        assert pdf["bytes"][k] == buf, (i, fmt)
+        assert pdf["phash"][k] == ph
+        assert (pdf["fmt"][k], pdf["w"][k], pdf["h"][k]) == (fmt, w, h)
+        assert pdf["image_id"][k] == f"img{i:012d}"
+        assert pdf["caption"][k] == f"cap {i}"

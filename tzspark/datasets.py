@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .geom import F32
-from .imagecodec import encode_image
+from .imagecodec import FMT_CODES
 
 IMAGES_SCHEMA = T.StructType(
     [
@@ -93,25 +93,70 @@ def synth_coords(i: np.ndarray):
 
 
 def synth_images_pdf(i: np.ndarray, tzid_hint=None) -> pd.DataFrame:
-    """Build one pandas batch of image rows for row indices i."""
+    """Build one pandas batch of image rows for row indices i.
+
+    Vectorized per (w, h, fmt) shape group (the i%3 cycle): one batched
+    pixel synthesis + one header build per group; bit-identical per row to
+    encode_image (pinned by tests/test_imagecodec.py). The only per-row
+    Python left is the blake2b phash and the rle payload split — hashing is
+    inherently per-row, and rle runs are row-delimited by construction.
+    """
+    import hashlib
+
+    from .imagecodec import (
+        _HEADER_DTYPE,
+        MAGIC,
+        rle_encode,
+        synth_pixels_batch,
+    )
+
     i = np.asarray(i, dtype=np.int64)
+    n = i.shape[0]
     lat, lng = synth_coords(i)
-    rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
-    for k in range(i.shape[0]):
-        ii = int(i[k])
-        w, h, fmt = WS[ii % 3], HS[ii % 3], FMTS[ii % 3]
-        buf, phash, _ = encode_image(ii, float(lat[k]), float(lng[k]), w, h, fmt)
-        rows["image_id"].append(f"img{ii:012d}")
-        rows["bytes"].append(buf)
-        rows["w"].append(w)
-        rows["h"].append(h)
-        rows["fmt"].append(fmt)
-        rows["caption"].append(f"cap {ii}")
-        rows["phash"].append(phash)
-    pdf = pd.DataFrame(rows)
-    pdf["w"] = pdf["w"].astype("int32")
-    pdf["h"] = pdf["h"].astype("int32")
-    pdf["phash"] = pdf["phash"].astype("int64")
+    bufs = [None] * n
+    phash = np.zeros(n, dtype=np.int64)
+    m = (i % 3).astype(np.int64)
+    for g in range(3):
+        rows = np.flatnonzero(m == g)
+        if rows.size == 0:
+            continue
+        w, h, fmt = WS[g], HS[g], FMTS[g]
+        pix = synth_pixels_batch(i[rows], w, h)
+        flat = pix.reshape(rows.size, -1)
+        hdrs = np.zeros(rows.size, dtype=_HEADER_DTYPE)
+        hdrs["magic"] = MAGIC
+        hdrs["lat"] = lat[rows]
+        hdrs["lng"] = lng[rows]
+        hdrs["w"] = w
+        hdrs["h"] = h
+        hdrs["fmt"] = FMT_CODES[fmt]
+        hb = hdrs.view(np.uint8).reshape(rows.size, -1)
+        if fmt == "raw":
+            payload = flat
+        elif fmt == "qnt":
+            payload = flat >> 2
+        else:
+            payload = None  # rle: variable length, encoded per row below
+        for k in range(rows.size):
+            row_flat = flat[k]
+            pb = rle_encode(row_flat) if payload is None else payload[k].tobytes()
+            bufs[rows[k]] = hb[k].tobytes() + pb
+            phash[rows[k]] = int.from_bytes(
+                hashlib.blake2b(row_flat.tobytes(), digest_size=8).digest(),
+                "little",
+                signed=True,
+            )
+    pdf = pd.DataFrame(
+        {
+            "image_id": [f"img{int(ii):012d}" for ii in i],
+            "bytes": bufs,
+            "w": np.array(WS, dtype=np.int32)[m],
+            "h": np.array(HS, dtype=np.int32)[m],
+            "fmt": pd.Categorical.from_codes(m, categories=list(FMTS)).astype(str),
+            "caption": [f"cap {int(ii)}" for ii in i],
+            "phash": phash,
+        }
+    )
     return pdf
 
 
@@ -134,6 +179,11 @@ def images_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image table keyed on the driver-provided events table (event_id as the
     row index) — ties the flagship query to /root/testdata inputs."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    # Small SF parquet arrives as one file -> one partition; spread the
+    # 8-byte ids so synthesis (the expensive part) uses every core. At
+    # cluster scale the input is already many splits and this no-ops cost-wise
+    # (the shuffle payload is just the id column).
+    ev = ev.repartition(max(8, spark.sparkContext.defaultParallelism))
 
     def _gen(batches):
         for pdf in batches:

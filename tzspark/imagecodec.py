@@ -60,6 +60,27 @@ def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
+def synth_pixels_batch(i: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Vectorized synth_pixels for a batch of equal-shape rows.
+
+    Returns (k, h, w, 3) uint8, bit-identical per row to synth_pixels(i[j])
+    (pinned by tests): the same float64 expressions evaluated with the
+    per-image terms broadcast over leading axis k instead of scalar.
+    """
+    i = np.asarray(i, dtype=np.int64)
+    k = i.shape[0]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = (xx * 255.0 / max(w - 1, 1) + yy * 255.0 / max(h - 1, 1)) / 2.0
+    phase = ((i * 37) % 256).astype(np.float64)
+    out = np.empty((k, h, w, 3), dtype=np.uint8)
+    out[..., 0] = np.broadcast_to(base, (k, h, w)).astype(np.uint8)
+    out[..., 1] = ((base[None, :, :] + phase[:, None, None]) % 256.0).astype(np.uint8)
+    out[..., 2] = (
+        127.5 + 127.5 * np.sin((xx + yy)[None, :, :] / 7.0 + (i * 0.31)[:, None, None])
+    ).astype(np.uint8)
+    return out
+
+
 def phash_pixels(pix: np.ndarray) -> int:
     """Stable 64-bit content hash of a pixel array (the `phash` column)."""
     return int.from_bytes(
@@ -83,13 +104,10 @@ def rle_encode(flat: np.ndarray) -> bytes:
     # split runs longer than 255
     n_chunks = (lengths + 254) // 255
     out_vals = np.repeat(values, n_chunks)
-    out_lens = np.empty(out_vals.shape[0], dtype=np.int64)
-    pos = 0
-    for ln, nc in zip(lengths, n_chunks):
-        full, rem = divmod(int(ln), 255)
-        for k in range(int(nc)):
-            out_lens[pos] = 255 if k < full else (rem if rem else 255)
-            pos += 1
+    # every chunk is 255 except the last of each run, which carries the
+    # remainder (exactly 255 when the run length divides evenly)
+    out_lens = np.full(out_vals.shape[0], 255, dtype=np.int64)
+    out_lens[np.cumsum(n_chunks) - 1] = lengths - 255 * (n_chunks - 1)
     pairs = np.empty(out_vals.shape[0] * 2, dtype=np.uint8)
     pairs[0::2] = out_lens.astype(np.uint8)
     pairs[1::2] = out_vals

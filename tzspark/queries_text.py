@@ -164,9 +164,7 @@ def q15_minhash_lsh(spark, sf_dir):
             )
         ).alias("b"),
     ).select("doc_id", "b.band_idx", "b.band_val")
-    sized = bands.groupBy("band_idx", "band_val").agg(
-        F.count("*").alias("bn"), F.collect_list("doc_id").alias("ids")
-    )
+    sized = bands.groupBy("band_idx", "band_val").agg(F.count("*").alias("bn"))
     ok = sized.where((F.col("bn") >= 2) & (F.col("bn") <= _BUCKET_MAX)).select(
         "band_idx", "band_val"
     )
@@ -1120,22 +1118,26 @@ def q47_tfidf_topterms(spark, sf_dir):
     engines; the float score (tf * ln(N/df)) is an output value, never a
     sort key — float ulp differences between Math.log and libm ln cannot
     reorder rows. Two shuffles total: token stats and the per-doc window;
-    the tiny (token, df) side broadcasts back onto the tf table."""
+    the tiny (token, df) side broadcasts back onto the tf table. The corpus
+    size N is a relational scalar aggregate broadcast-cross-joined in (one
+    row), so constructing this query launches no Spark job and N is computed
+    inside the same lazy plan."""
     from pyspark.sql import Window as W
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
     w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("token").asc())
     return (
         tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select(
             "doc_id", "rank", "token", "tf", "df",
-            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
         )
     )
 

@@ -33,13 +33,17 @@ def read_image_stream(spark: SparkSession, path: str, per_trigger_files: int = 4
     )
 
 
-def stream_assign(images_stream: DataFrame, idx_bcast, zone_dim: DataFrame) -> DataFrame:
+def stream_assign(
+    images_stream: DataFrame, idx_bcast, zone_dim: DataFrame, max_res: int = None
+) -> DataFrame:
     """The lookup pipeline on a stream — identical operators to the batch
     path (engine.assign_timezones), reused verbatim: extract -> validity ->
     cell encode -> broadcast cover probe -> broadcast tzid join."""
-    from .engine import assign_timezones
+    from .engine import DEFAULT_MAX_RES, assign_timezones
 
-    return assign_timezones(images_stream, idx_bcast, zone_dim)
+    if max_res is None:
+        max_res = DEFAULT_MAX_RES
+    return assign_timezones(images_stream, idx_bcast, zone_dim, max_res=max_res)
 
 
 def stream_assign_join(
