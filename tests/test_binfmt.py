@@ -155,3 +155,40 @@ def test_roundtrip_property(tmp_path_factory, zones_spec):
     p2 = p + ".2"
     save_binary(back, p2)
     assert open(p, "rb").read() == open(p2, "rb").read()
+
+
+def test_mmap_load_lazy_views(tmp_path):
+    """mmap mode (the reference's defining v2 trick, timezone.go:192,
+    216-231): ring arrays must be strided views into ONE shared np.memmap of
+    the vertex blob — no per-zone copies, vertices paged in on demand — and
+    value-identical to the eager load."""
+    p = str(tmp_path / "tz.data")
+    save_binary(_small_zones(), p)
+    lazy = load_binary(p, mmap=True)
+    eager = load_binary(p, mmap=False)
+    maps = set()
+    for lz, ez in zip(lazy, eager):
+        assert np.array_equal(lz.ring_lat, ez.ring_lat)
+        assert np.array_equal(lz.ring_lng, ez.ring_lng)
+        assert not lz.ring_lat.flags.owndata  # a view, not a copy
+        base = lz.ring_lat
+        while isinstance(base.base, np.ndarray):
+            base = base.base
+        assert isinstance(base, np.memmap)
+        maps.add(id(base))
+    assert len(maps) == 1  # one mapping shared by every zone
+
+
+def test_mmap_load_compiles_and_resolves(tmp_path):
+    """The memmap-backed zones must drive the cover compiler and kernels
+    unchanged (read-only strided input is part of the kernel contract)."""
+    from tzspark.cells import compile_cover, resolve_points
+
+    p = str(tmp_path / "tz.data")
+    save_binary(_small_zones(), p)
+    lazy = load_binary(p, mmap=True)
+    idx = compile_cover(lazy)
+    idx2 = compile_cover(load_binary(p, mmap=False))
+    la = np.array([0.5, 1.5, 50.0], F32)
+    lg = np.array([0.5, 1.5, 50.0], F32)
+    assert np.array_equal(resolve_points(idx, la, lg), resolve_points(idx2, la, lg))

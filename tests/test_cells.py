@@ -143,3 +143,58 @@ def test_knn_table_hierarchical_equals_dense():
     want_zidx = np.concatenate([np.flatnonzero(k) for k in keep])
     np.testing.assert_array_equal(off, want_off)
     np.testing.assert_array_equal(zidx, want_zidx.astype(np.int32))
+
+
+def test_cell_children_introspection(zones, idx):
+    """R7: cell_children must agree with the probe — the resolved zone of an
+    interior point appears in a full-claim list of its ancestor chain; a
+    boundary-resolved zone appears among the cell's PIP candidates with a
+    non-empty pruned edge subset."""
+    from tzspark.cells import cell_children, describe_point
+
+    pts = fixture_points()
+    n_full = n_boundary = n_knn = 0
+    for lat, lng, tag in pts:
+        info = describe_point(idx, lat, lng)
+        zid = info["zone_id"]
+        want = oracle_assign(zones, np.array([lat], F32), np.array([lng], F32))
+        want = want[0] if isinstance(want, tuple) else want
+        assert zid == int(np.asarray(want)[0]), tag
+        if info["via"] == "full":
+            assert any(zid in v for v in info["full"].values()), tag
+            n_full += 1
+        elif info["via"] == "boundary":
+            cand = {c["zone_id"] for c in info["boundary"]}
+            assert zid in cand, tag
+            assert all(c["n_edges"] > 0 for c in info["boundary"]), tag
+            n_boundary += 1
+        else:
+            n_knn += 1
+        # bounds sanity: the float32 point lies in (or on the edge of) the cell
+        lat0, lng0, lat1, lng1 = info["bounds"]
+        assert lat0 - 1e-6 <= F32(lat) <= lat1 + 1e-6
+        assert lng0 - 1e-6 <= F32(lng) <= lng1 + 1e-6
+    # the fixture set must exercise every path or the test is vacuous
+    assert n_full and n_boundary and n_knn, (n_full, n_boundary, n_knn)
+
+
+def test_cell_children_validation(idx):
+    from tzspark.cells import cell_children
+
+    with pytest.raises(ValueError, match="outside"):
+        cell_children(idx, 0, res=idx.max_res + 1)
+    with pytest.raises(ValueError, match="out of range"):
+        cell_children(idx, 1 << 62, res=idx.max_res)
+
+
+def test_facade_children_roundtrip():
+    """api.TimezoneLookup.children/explain_point delegate to the cover
+    introspection and resolve consistently with search()."""
+    from tzspark.api import TimezoneLookup
+
+    tl = TimezoneLookup(make_zones(n_coast=500), base_res=3, max_res=7)
+    r = tl.search(3.0, 3.0)
+    info = tl.explain_point(3.0, 3.0)
+    assert info["tzid"] == r.name and info["zone_id"] >= 0
+    kid = tl.children(info["cell_id"])
+    assert kid["full"] == info["full"] and kid["boundary"] == info["boundary"]

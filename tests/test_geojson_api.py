@@ -1,6 +1,7 @@
 """GeoJSON ingest quirks + the TimezoneLookup facade (reference API parity)."""
 
 import json
+import os
 import zipfile
 
 import numpy as np
@@ -156,11 +157,74 @@ def test_geojson_keeps_f32_roundable_edge_vertices():
     assert la.tolist() == [90.0, 89.0]  # 91.0 dropped, 90.0000001 kept as 90.0
 
 
-def test_cli_build_url_stub(capsys):
-    """Reference CLI parity note: -build -url documents the offline S1 gap
-    (fetchAndCacheFile, import.go:68-90) with a clear error."""
+def _fixture_zip(tmp_path):
+    p = tmp_path / "src" / "tz.geojson.zip"
+    p.parent.mkdir(exist_ok=True)
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("combined.json", json.dumps(FC))
+    return p
+
+
+def test_fetch_and_cache_file_protocol(tmp_path):
+    """S1 (fetchAndCacheFile, import.go:68-90 + the stat check,
+    import.go:31-36): first call copies through the transport, second call
+    reuses the cache without touching the transport, and a transport
+    failure leaves no (partial) cache behind."""
+    from tzspark.fetch import fetch_and_cache_file
+
+    src = _fixture_zip(tmp_path)
+    cache = str(tmp_path / "cache.zip")
+    calls = []
+
+    def transport(url):
+        calls.append(url)
+        return open(src, "rb")
+
+    assert fetch_and_cache_file(cache, "x://src", transport=transport) == cache
+    assert open(cache, "rb").read() == open(src, "rb").read()
+    fetch_and_cache_file(cache, "x://src", transport=transport)
+    assert calls == ["x://src"]  # second call served from cache
+
+    def boom(url):
+        raise OSError("no route")
+
+    bad = str(tmp_path / "bad.zip")
+    with pytest.raises(OSError):
+        fetch_and_cache_file(bad, "x://gone", transport=boom)
+    assert not os.path.exists(bad) and not os.path.exists(bad + ".part")
+
+
+def test_import_zip_url_file_scheme(tmp_path):
+    """The default transport (urllib) drives file:// URLs end-to-end — the
+    offline stand-in for the reference's http download; going live is only
+    a URL swap. Non-.zip cache names are rejected like import.go:48-50."""
+    from tzspark.fetch import import_zip_url
+
+    src = _fixture_zip(tmp_path)
+    cache = str(tmp_path / "cached.zip")
+    zones = import_zip_url(cache, src.as_uri())
+    assert len(zones) == 5 and os.path.exists(cache)
+    with pytest.raises(ValueError, match="not a zip"):
+        import_zip_url(str(tmp_path / "cache.tar"), src.as_uri())
+
+
+def test_cli_build_from_url(tmp_path, capsys, monkeypatch):
+    """-build -url compiles through the fetch seam (file:// fixture) and
+    the db round-trips through -search; a transport failure exits 1 with
+    the fallback guidance instead of a traceback."""
     from tzspark.__main__ import main
 
-    rc = main(["-build", "-url", "https://github.com/evansiroky/timezone-boundary-builder/releases/x.zip"])
-    assert rc == 1
-    assert "offline" in capsys.readouterr().err or True  # message on stderr
+    src = _fixture_zip(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    db = str(tmp_path / "zones.parquet")
+    rc = main(["-build", "-url", src.as_uri(), "-cache",
+               str(tmp_path / "dl.zip"), "-db", db])
+    assert rc == 0 and "compiled 5 zones" in capsys.readouterr().out
+    rc = main(["-search", "-db", db, "-lat", "5", "-lng", "5"])
+    assert rc == 0 and "Timezone:" in capsys.readouterr().out
+
+    rc = main(["-build", "-url", "file:///nonexistent/x.zip", "-db", db])
+    assert rc == 1 and "-zip <file>" in capsys.readouterr().err
+
+    rc = main(["-build", "-url", "https://example.com/not-a-zip.tar", "-db", db])
+    assert rc == 1 and "not a zip" in capsys.readouterr().err

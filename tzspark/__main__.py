@@ -5,10 +5,11 @@
     python -m tzspark -search -synthetic -lat 3 -lng 3
 
 Reference flags (cmd/main.go:18-27): -build downloads+compiles the db,
--search -lat -lng queries it (defaults lat=-31.9523, lng=115.8613). Here
--build compiles from a local GeoJSON zip (the sandbox is offline — the
-download step S1 is out of scope, SURVEY §2.1) and -search prints the same
-fields the reference CLI prints (name, coords, elapsed — cmd/main.go:46).
+-search -lat -lng queries it (defaults lat=-31.9523, lng=115.8613). -build
+takes either a local zip (-zip) or a source URL (-url, fetched through the
+S1 cache seam in fetch.py — file:// works offline, http(s) when networked);
+-search prints the same fields the reference CLI prints (name, coords,
+elapsed — cmd/main.go:46).
 """
 
 from __future__ import annotations
@@ -24,9 +25,14 @@ def main(argv=None):
     ap.add_argument("-zip", dest="zipfile", help="GeoJSON zip to compile (build)")
     ap.add_argument(
         "-url",
-        help="download URL for -build (reference parity: fetchAndCacheFile, "
-        "import.go:68-90). NOT available in this offline build — download the "
-        "zip yourself and pass it via -zip.",
+        help="zone-source URL for -build (reference parity: fetchAndCacheFile, "
+        "import.go:68-90): downloaded to -cache unless the cache exists, then "
+        "compiled. file:// URLs work offline; http(s) needs network access.",
+    )
+    ap.add_argument(
+        "-cache",
+        help="cache path for -url downloads (ImportZipFile's cache file, "
+        "import.go:29-36); default: the URL basename in the working dir",
     )
     ap.add_argument(
         "-db", default="zones.parquet",
@@ -51,16 +57,24 @@ def main(argv=None):
 
     if args.build:
         if args.url:
-            print(
-                "error: the -url download path (reference S1, fetchAndCacheFile "
-                "import.go:68-90) needs network access, which this environment "
-                "does not have; download the GeoJSON zip yourself and pass it "
-                "with -zip <file>",
-                file=sys.stderr,
-            )
-            return 1
+            from .fetch import fetch_and_cache_file
+
+            cache = args.cache or args.url.rstrip("/").rsplit("/", 1)[-1]
+            if not cache.lower().endswith(".zip"):
+                print("error not a zip file", file=sys.stderr)  # import.go:48-50
+                return 1
+            try:
+                args.zipfile = fetch_and_cache_file(cache, args.url)
+            except OSError as e:
+                print(
+                    f"error: fetching {args.url} failed ({e}); if this "
+                    "environment is offline, download the zip yourself and "
+                    "pass it with -zip <file>",
+                    file=sys.stderr,
+                )
+                return 1
         if not args.zipfile:
-            ap.error("-build requires -zip <geojson.zip> (or -url, unavailable offline)")
+            ap.error("-build requires -zip <geojson.zip> or -url <source>")
         tl = TimezoneLookup.from_geojson_zip(args.zipfile)
         if args.db.endswith(".parquet"):
             tl.save(args.db)

@@ -230,6 +230,21 @@ class TimezoneLookup:
                 break  # abort on first miss (geo/latlng.go:65-67)
         return name
 
+    def children(self, cell: int, res: int = None) -> dict:
+        """R7 introspection (reference rtree Children, geo/rtree.go:445-479):
+        the cover records behind one cell — ancestor full-claim lists and
+        boundary PIP candidates with edge counts. See cells.cell_children."""
+        from .cells import cell_children
+
+        return cell_children(self.idx, cell, res)
+
+    def explain_point(self, lat: float, lng: float) -> dict:
+        """Probe trace for one coordinate: the cell chain consulted, the
+        candidates, and the resolved (zone_id, tzid, via) answer."""
+        from .cells import describe_point
+
+        return describe_point(self.idx, lat, lng)
+
     def search_many(self, lat, lng, knn: bool = True) -> np.ndarray:
         """Vectorized bulk lookup (driver-side, no Spark)."""
         la = np.asarray(lat, dtype=F32)

@@ -84,36 +84,58 @@ def save_binary(zones: list, path: str) -> int:
     return len(data)
 
 
-def load_binary(path: str) -> list:
+def load_binary(path: str, mmap: bool = True) -> list:
     """Read a reference v2 file back into Zone rows (dense zone_id order).
 
     Mirrors Load (timezone.go:165-196): the blob offset is the actual size
     of the header + item section, NOT the stored headerLength quirk value.
     bboxes are recomputed exactly like the engine's ingest (ring_bbox).
+
+    ``mmap=True`` reproduces the format's defining v2 trick (timezone.go:192
+    MmapFile; PolygonFromBytes reinterprets the mapped region in place,
+    geo/polygon.go:119-144, timezone.go:216-231): only the header and the
+    item section are read eagerly; every ring array is a strided view into
+    one ``np.memmap`` of the vertex blob, so vertices page in on first
+    touch. At the format's 4 GiB limit an open costs ~header-size I/O, not
+    a full-file read. ``mmap=False`` returns owned arrays (use when the
+    zones must outlive the file, e.g. before rewriting it in place).
     """
+    import os
+
     with open(path, "rb") as f:
-        data = f.read()
-    if len(data) < 10:
-        raise ValueError("file shorter than the 10-byte header")
-    _header_len_quirk, data_len, n = _HEADER.unpack_from(data, 0)
-    pos = 10
+        head = f.read(10)
+        if len(head) < 10:
+            raise ValueError("file shorter than the 10-byte header")
+        _header_len_quirk, data_len, n = _HEADER.unpack_from(head, 0)
+        # item section: bounded by 65535 * (5 + 255) bytes — always small
+        items_raw = f.read(n * 5 + 0xFF * n if n else 0)
+    pos = 0
     arr, names = [], []
     for _ in range(n):
-        end, name_len = _ITEM_FIXED.unpack_from(data, pos)
+        end, name_len = _ITEM_FIXED.unpack_from(items_raw, pos)
         pos += 5
-        names.append(data[pos : pos + name_len].decode("utf-8"))
+        names.append(items_raw[pos : pos + name_len].decode("utf-8"))
         pos += name_len
         arr.append(end)
-    buf_offset = pos  # == discarded bytes in Load (timezone.go:190)
-    if len(data) < buf_offset + data_len:
+    buf_offset = 10 + pos  # == discarded bytes in Load (timezone.go:190)
+    if os.path.getsize(path) < buf_offset + data_len:
         raise ValueError("file truncated: blob shorter than dataLength")
+    if mmap and data_len:
+        blob = np.memmap(
+            path, dtype="<f4", mode="r", offset=buf_offset, shape=(data_len // 4,)
+        )
+    else:
+        with open(path, "rb") as f:
+            f.seek(buf_offset)
+            blob = np.frombuffer(f.read(data_len), dtype="<f4")
     zones = []
     prev = 0
     for zid, (end, name) in enumerate(zip(arr, names)):
-        raw = data[buf_offset + prev : buf_offset + end]
+        inter = blob[prev // 4 : end // 4]
         prev = end
-        inter = np.frombuffer(raw, dtype="<f4")
-        lat = inter[0::2].astype(F32)
-        lng = inter[1::2].astype(F32)
+        lat = inter[0::2]
+        lng = inter[1::2]
+        if not mmap:
+            lat, lng = lat.astype(F32), lng.astype(F32)
         zones.append(Zone(zone_id=zid, tzid=name, ring_lat=lat, ring_lng=lng))
     return zones

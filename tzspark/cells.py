@@ -1122,3 +1122,91 @@ def knn_fallback(idx: CompiledIndex, lat: np.ndarray, lng: np.ndarray) -> np.nda
     is_min = d2 == dmin[np.repeat(np.arange(n, dtype=np.int64), cnt)]
     zid_pairs = np.where(is_min, idx.zone_ids[zi].astype(np.int64), np.iinfo(np.int64).max)
     return np.minimum.reduceat(zid_pairs, seg).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Introspection (R7 — the reference rtree's Children debugging API,
+# geo/rtree.go:445-479, re-expressed for the compiled cover)
+# ---------------------------------------------------------------------------
+
+
+def cell_children(idx: CompiledIndex, cell: int, res: int = None) -> dict:
+    """Enumerate every cover record a probe of ``cell`` consults.
+
+    The reference exposes ``Children`` on index nodes so users can walk the
+    tree for debugging/visualization (geo/rtree.go:445-479). The compiled
+    cover's analog of a node's children is the ancestor chain of full-claim
+    lists plus the boundary candidate list:
+
+    Returns ``{"cell_id", "res", "bounds": (lat0, lng0, lat1, lng1),
+    "full": {r: [zone_id, ...]}, "boundary": [{"zone_id", "tzid",
+    "n_edges"}, ...]}``. ``full[r]`` holds the zones that FULLY claim the
+    cell's ancestor at resolution r (an interior probe stops there);
+    ``boundary`` lists the exact-PIP candidates with their pruned edge-subset
+    sizes — empty unless ``res == max_res`` (only max_res cells carry
+    boundary records). Driver-side debugging aid; not on the hot path.
+    """
+    if res is None:
+        res = idx.max_res
+    if not (idx.base_res <= res <= idx.max_res):
+        raise ValueError(f"res {res} outside [{idx.base_res}, {idx.max_res}]")
+    cell = int(cell)
+    n = 1 << res
+    if not (0 <= cell < n * n):
+        raise ValueError(f"cell {cell} out of range at res {res}")
+
+    full = {}
+    for r in range(idx.base_res, res + 1):
+        cells_r, off, zl = idx.full.get(r, (np.empty(0, np.int64), None, None))
+        if len(cells_r) == 0:
+            continue
+        anc = int(cell_id_parent(np.array([cell]), res, r)[0]) if r < res else cell
+        p = int(np.searchsorted(cells_r, anc))
+        if p < len(cells_r) and cells_r[p] == anc:
+            full[r] = idx.zone_ids[zl[off[p] : off[p + 1]]].tolist()
+
+    boundary = []
+    if res == idx.max_res and idx.b_cells is not None and len(idx.b_cells):
+        p = int(np.searchsorted(idx.b_cells, cell))
+        if p < len(idx.b_cells) and idx.b_cells[p] == cell:
+            for ci in range(int(idx.b_off[p]), int(idx.b_off[p + 1])):
+                zi = int(idx.b_zone[ci])
+                boundary.append(
+                    {
+                        "zone_id": int(idx.zone_ids[zi]),
+                        "tzid": idx.tzids[zi],
+                        "n_edges": int(
+                            idx.b_edge_off[ci + 1] - idx.b_edge_off[ci]
+                        ),
+                    }
+                )
+
+    row, col = divmod(cell, n)
+    return {
+        "cell_id": cell,
+        "res": res,
+        "bounds": cell_bounds(row, col, res),
+        "full": full,
+        "boundary": boundary,
+    }
+
+
+def describe_point(idx: CompiledIndex, lat: float, lng: float) -> dict:
+    """Single-point probe trace: the cell chain a lookup walks for (lat,
+    lng) plus the resolved zone — ``cell_children`` keyed by coordinates,
+    with the engine's answer attached (via="full"|"boundary"|"knn")."""
+    la = np.array([lat], dtype=F32)
+    lg = np.array([lng], dtype=F32)
+    cell = int(cell_id(la, lg, idx.max_res)[0])
+    info = cell_children(idx, cell, idx.max_res)
+    zid = int(resolve_points(idx, la, lg)[0])
+    if zid >= 0:
+        via = "full" if any(zid in v for v in info["full"].values()) else "boundary"
+    else:
+        zid = int(knn_fallback(idx, la, lg)[0])
+        via = "knn"
+    info["zone_id"] = zid
+    info["via"] = via
+    zi = int(np.searchsorted(idx.zone_ids, zid))
+    info["tzid"] = idx.tzids[zi] if idx.zone_ids[zi] == zid else ""
+    return info
