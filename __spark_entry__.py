@@ -25,6 +25,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 # executors' python workers must import tzspark too
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+# see bench.py: avoid this VM's pathological first-touch fault stalls on
+# large fresh mmaps — keep glibc reusing heap blocks in every worker (only
+# effective if this module is imported before the JVM starts, which is how
+# the driver and the oracle-check harness both load it)
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402

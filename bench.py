@@ -29,6 +29,16 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
+# This box (VM kernel) intermittently takes ~50-100 us PER PAGE to fault in
+# freshly-mmapped memory — multi-second stalls on ~60 MB numpy temporaries
+# (measured: first large np.sin 0.1-17 s, warm 0.1 s; the r3 bench noise).
+# glibc mmaps every >128 KiB allocation by default, so EVERY Arrow batch's
+# temporaries re-pay it. Keep freed large blocks on the heap instead:
+# steady-state batches then reuse already-faulted pages. Set before the JVM
+# starts so every Python worker inherits it.
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
@@ -133,12 +143,40 @@ def headline_queries(spark, images):
             F.sum(F.col("via_knn").cast("long")).alias("n_via_knn"),
         )
 
+    # MULTI-TENANT at world scale: two world-size zone sets unioned into one
+    # tenant-keyed cover (covertable.union_tenants), resolved for a mixed
+    # image stream in a single shuffle-partitioned job — the regime where
+    # per-tenant broadcasts are impossible by construction (2x the world
+    # cover could never broadcast). Cover DataFrames are built once here;
+    # the thunk times the probe joins + rollup, matching how
+    # world_lookup_join treats its cover as a prebuilt table.
+    from tzspark.covertable import CoverTables, assign_images_via_join
+
+    mt_path = os.path.join(
+        CACHE, "covers", "mt2_" + tl_world._content_key()[:16]
+    )
+    if not os.path.exists(os.path.join(mt_path, "meta.json")):
+        CoverTables.union_tenants(
+            spark, {"a": tl_world.idx, "b": tl_world.idx}
+        ).save(mt_path)
+    cov_mt = CoverTables.load(spark, mt_path)
+
+    def _multi_tenant():
+        t_images = images.withColumn(
+            "tenant",
+            F.when(F.crc32(F.col("image_id")) % 2 == 0, "a").otherwise("b"),
+        )
+        return assign_images_via_join(t_images, cov_mt).groupBy(
+            "tenant", "zone_id"
+        ).agg(F.count("*").alias("n_images"))
+
     from tzspark.engine import lookup_tile_onepass
 
     return {
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
         "world_lookup_join": _world_lookup_join,
+        "multi_tenant_world": _multi_tenant,
         "onepass_lookup_tile": lambda: lookup_tile_onepass(images, idx_b),
         "tile_rollup": lambda: tile_rollup_fused(images),
         "salted_tile_counts": lambda: salted_tile_counts(_assigned()),

@@ -172,6 +172,44 @@ def main():
     if "InMemoryTableScan" not in p6b:
         failures.append("assign-join: narrow frames are not cached")
 
+    # 6c. MULTI-TENANT join-path assignment: N zone sets unioned into one
+    # tenant-keyed cover must still resolve as ONE shuffle-partitioned job —
+    # zero BroadcastHashJoin (no per-tenant broadcasts), every cover probe a
+    # shuffle join keyed on (tenant, cell), same bounded Python-stage count
+    # as the single-tenant path
+    idx_t = compile_cover(box_zones(spark, sf_small), base_res=3, max_res=7)
+    cov_mt = CoverTables.union_tenants(spark, {"a": idx_t, "b": idx_t})
+    pts_t = pts_df(spark, sf_small).withColumn(
+        "tenant", F.when(F.col("event_id") % 2 == 0, "a").otherwise("b")
+    )
+    p6c = plan_of(
+        assign_via_join(pts_t, "event_id", cov_mt).groupBy("tenant", "zone_id").count()
+    )
+    sections.append(("multi-tenant assignment (tenant-keyed cover union)", p6c))
+    # every cover probe (interior, boundary, knn) must be a ShuffledHashJoin
+    # whose keys LEAD with tenant; the only broadcast allowed is the final
+    # per-key map join back onto the wide points row (keyed on _k — Catalyst
+    # size-based at tiny SF; at scale the points side is the big side)
+    probe_shj = re.findall(
+        r"\(\d+\) ShuffledHashJoin\nLeft keys \[\d+\]: \[tenant", p6c
+    )
+    if len(probe_shj) < 3:
+        failures.append(
+            f"multi-tenant: {len(probe_shj)} tenant-keyed shuffle probes "
+            "(expected 3: interior, boundary, knn)"
+        )
+    bad_bhj = re.findall(
+        r"\(\d+\) BroadcastHashJoin\nLeft keys \[\d+\]: \[(?:tenant|res|cell|knn)",
+        p6c,
+    )
+    if bad_bhj:
+        failures.append(
+            f"multi-tenant: {len(bad_bhj)} cover probes are broadcasts "
+            "(expected 0 — no per-tenant broadcasts)"
+        )
+    if len(re.findall(r"ArrowEvalPython", p6c)) > 3:
+        failures.append("multi-tenant: Python stages exceed the cached bound")
+
     # 7. as-of join (union-and-last-value form): NO join operator at all —
     # one Exchange on user_id feeds the window; sessionization's two windows
     # share the same partitioning, so its only extra Exchange is the final

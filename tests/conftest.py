@@ -1,4 +1,13 @@
+import os
+
 import pytest
+
+# See bench.py: this VM's kernel intermittently stalls multi-second on
+# first-touch faults of large fresh mmaps; keep glibc reusing heap blocks so
+# numpy/Arrow temporaries in workers hit already-faulted pages. Must be set
+# before the JVM (and its Python workers) start.
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
 
 
 @pytest.fixture(scope="session")

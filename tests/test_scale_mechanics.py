@@ -142,3 +142,95 @@ def test_bucketed_cover_boundary_join_no_shuffle(spark, assigned):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for t in ("t_pts_bucketed", "t_cover_boundary"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_aqe_skew_split_fires_on_hot_cell_join(spark):
+    """The dense-urban-tile regime: a point stream concentrated in ONE cell
+    makes that cell's shuffle partition dominate the cover-as-table probe
+    join. The plan must ADMIT AQE's skew-join split — after execution the
+    skewed partition is split into multiple tasks (`AQEShuffleRead skewed`
+    in the final adaptive plan) — and the split must not change answers.
+
+    Thresholds are scaled to test size (the defaults trigger at 256 MB
+    partitions); forceOptimizeSkewedJoin accepts the extra shuffle the
+    downstream rollup would otherwise veto, which on a real cluster is the
+    documented knob for skew-dominated stages.
+    """
+    import numpy as np
+
+    from tzspark.cells import cell_id, compile_cover, resolve_points
+    from tzspark.covertable import CoverTables, resolve_via_join
+    from tzspark.geom import F32
+
+    zones = make_zones(n_coast=2000)
+    idx = compile_cover(zones)
+    cov = CoverTables.from_index(spark, idx)
+    # ~350k points in a 0.02-degree blob inside one hot cell (urban tile),
+    # plus a thin uniform background — the blob's (res, cell) keys all
+    # collide, so its shuffle partition is ~100x the median
+    n_hot, n_bg = 350_000, 20_000
+    pts = (
+        spark.range(0, n_hot + n_bg, 1, 8)
+        .select(
+            F.col("id").alias("pid"),
+            F.when(
+                F.col("id") < n_hot,
+                3.0 + (F.pmod(F.col("id") * 2654435761, 20000) / 1e6),
+            )
+            .otherwise(-6.0 + F.pmod(F.col("id") * 7919, 48000) / 1000.0)
+            .cast("float")
+            .alias("lat"),
+            F.when(
+                F.col("id") < n_hot,
+                3.0 + (F.pmod(F.col("id") * 40503, 20000) / 1e6),
+            )
+            .otherwise(-6.0 + F.pmod(F.col("id") * 104729, 48000) / 1000.0)
+            .cast("float")
+            .alias("lng"),
+        )
+    )
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        r = resolve_via_join(pts, "pid", cov).groupBy("zone_id").count()
+        got = {row["zone_id"]: row["count"] for row in r.collect()}
+        plan = _plan(r)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "AQEShuffleRead skewed" in plan, plan[:2000]
+    # answers under the split must equal the broadcast kernel's
+    ids = np.arange(n_hot + n_bg, dtype=np.int64)
+    la = np.where(
+        ids < n_hot, 3.0 + ((ids * 2654435761) % 20000) / 1e6,
+        -6.0 + ((ids * 7919) % 48000) / 1000.0,
+    ).astype(F32)
+    lg = np.where(
+        ids < n_hot, 3.0 + ((ids * 40503) % 20000) / 1e6,
+        -6.0 + ((ids * 104729) % 48000) / 1000.0,
+    ).astype(F32)
+    want_ids = resolve_points(idx, la, lg)
+    want = dict(zip(*np.unique(want_ids, return_counts=True)))
+    want = {int(k): int(v) for k, v in want.items()}
+    got = {(-1 if k is None else int(k)): int(v) for k, v in got.items()}
+    assert got == want

@@ -241,7 +241,7 @@ class CoverTables:
         self.knn.write.mode("overwrite").parquet(f"{path}/knn")
         with open(f"{path}/meta.json", "w") as f:
             json.dump({"base_res": self.base_res, "max_res": self.max_res,
-                       "knn_res": self.knn_res}, f)
+                       "knn_res": self.knn_res, "keys": list(self.keys)}, f)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CoverTables":
@@ -254,6 +254,7 @@ class CoverTables:
             spark.read.parquet(f"{path}/boundary"),
             spark.read.parquet(f"{path}/knn"),
             meta["base_res"], meta["max_res"], meta["knn_res"],
+            keys=tuple(meta.get("keys", ())),
         )
 
 
