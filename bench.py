@@ -221,6 +221,10 @@ def bench_main():
             t0 = time.time()
             materialize(thunk())
             best = min(best, time.time() - t0)
+            # join-path thunks persist narrow frames scoped to THIS rep's
+            # DataFrames — they are never reused across reps, so drop them
+            # instead of letting storage accumulate over the session
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -519,8 +523,12 @@ def scaling_main():
     all threads, which a multi-node cluster does not)."""
     result = {"metric": "scaling efficiency local[8] -> local[32] (N -> 4N)",
               "target": 0.8}
-    # intrinsic operator scaling (process-parallel kernel, no Spark runner)
-    result["resolve_kernel"] = kernel_scaling()
+    # optional subset, e.g. SPARK_GRAFT_SCALING_MODES=full_pipeline,transfer_ceiling_noop
+    only = os.environ.get("SPARK_GRAFT_SCALING_MODES")
+    only = set(only.split(",")) if only else None
+    if only is None or "resolve_kernel" in only:
+        # intrinsic operator scaling (process-parallel kernel, no Spark runner)
+        result["resolve_kernel"] = kernel_scaling()
     import shutil
 
     taskset = shutil.which("taskset")
@@ -531,6 +539,8 @@ def scaling_main():
         ("full_pipeline", "--single-run", SCALING_ROWS),
         ("transfer_ceiling_noop", "--single-noop-run", SCALING_ROWS),
     ):
+        if only is not None and mode not in only:
+            continue
         out = {}
         for cpus in (8, 32):
             cmd = [sys.executable, os.path.abspath(__file__), flag, str(cpus)]
