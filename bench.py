@@ -300,7 +300,10 @@ def single_compute_run(cpus: int):
         t0 = time.time()
         materialize(df)
         times.append(time.time() - t0)
-    dt = sorted(times)[2]  # median of 5 — JIT/GC noise dominates short runs
+    dt = min(times)  # noise on this box is strictly ADDITIVE (one-sided
+    # multi-second fault/steal stalls, BASELINE.md round 4), so min-of-5 is
+    # the consistent estimator of machine capability; median gets dragged
+    # by a single stalled rep
     print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
                       "rows_sec": round(COMPUTE_ROWS / dt, 1),
                       "all_secs": [round(t, 3) for t in times]}))
@@ -341,7 +344,7 @@ def single_noop_run(cpus: int):
         t0 = time.time()
         job()
         times.append(time.time() - t0)
-    dt = sorted(times)[2]
+    dt = min(times)  # min-of-5; see the estimator note above
     print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
                       "rows_sec": round(N_ROWS / dt, 1),
                       "all_secs": [round(t, 3) for t in times]}))
@@ -424,7 +427,7 @@ def single_world_run(cpus: int):
         t0 = time.time()
         materialize(df)
         times.append(time.time() - t0)
-    dt = sorted(times)[2]
+    dt = min(times)  # min-of-5; see the estimator note above
     print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
                       "rows_sec": round(n_rows / dt, 1),
                       "all_secs": [round(t, 3) for t in times]}))
@@ -469,7 +472,7 @@ def single_join_run(cpus: int):
         t0 = time.time()
         materialize(df)
         times.append(time.time() - t0)
-    dt = sorted(times)[2]
+    dt = min(times)  # min-of-5; see the estimator note above
     print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
                       "rows_sec": round(n_rows / dt, 1),
                       "all_secs": [round(t, 3) for t in times]}))
@@ -507,7 +510,7 @@ def single_run(cpus: int):
         t0 = time.time()
         job()
         times.append(time.time() - t0)
-    dt = sorted(times)[2]
+    dt = min(times)  # min-of-5; see the estimator note above
     print(json.dumps({"cpus": cpus, "sec": round(dt, 3),
                       "rows_sec": round(N_ROWS / dt, 1),
                       "all_secs": [round(t, 3) for t in times]}))
