@@ -161,6 +161,23 @@ def headline_queries(spark, images):
         ).save(mt_path)
     cov_mt = CoverTables.load(spark, mt_path)
 
+    # BUCKETED cover layout: the same broadcast-free lookup with the cover
+    # bucketed+sorted on its probe join keys — every probe then shuffles
+    # ONLY the narrow points side; the ~208 MB cover never re-exchanges
+    # (write-once, probe-many). The apples-to-apples row against
+    # world_lookup_join isolates the cover-shuffle cost.
+    bprefix = "covb_" + tl_world._content_key()[:16]
+    if not CoverTables.bucketed_exists(spark, bprefix):
+        tl_world.cover_tables(
+            spark, os.path.join(CACHE, "covers")
+        ).save_bucketed(spark, bprefix, n_buckets=max(CPUS, 32))
+    cov_wb = CoverTables.load_bucketed(spark, bprefix)
+
+    def _world_lookup_join_bucketed():
+        return assign_images_via_join(images, cov_wb).groupBy("zone_id").agg(
+            F.count("*").alias("n_images")
+        )
+
     def _multi_tenant():
         t_images = images.withColumn(
             "tenant",
@@ -176,6 +193,7 @@ def headline_queries(spark, images):
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
         "world_lookup_join": _world_lookup_join,
+        "world_lookup_join_bucketed": _world_lookup_join_bucketed,
         "multi_tenant_world": _multi_tenant,
         "onepass_lookup_tile": lambda: lookup_tile_onepass(images, idx_b),
         "tile_rollup": lambda: tile_rollup_fused(images),

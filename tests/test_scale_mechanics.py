@@ -234,3 +234,56 @@ def test_aqe_skew_split_fires_on_hot_cell_join(spark):
     want = {int(k): int(v) for k, v in want.items()}
     got = {(-1 if k is None else int(k)): int(v) for k, v in got.items()}
     assert got == want
+
+
+def test_bucketed_cover_probe_skips_cover_shuffle(spark, tmp_path):
+    """save_bucketed lays the cover out bucketed on each table's probe join
+    keys, so a resolve shuffles ONLY the narrow points side: all three cover
+    scans must read bucket-aware (no Exchange above them), answers must
+    equal the plain-parquet cover path, and a fresh-catalog session must be
+    able to re-register the same files via the meta sidecar."""
+    from pyspark.sql import functions as F
+
+    from tzspark.cells import compile_cover
+    from tzspark.covertable import CoverTables, assign_via_join
+    from tzspark.queries_geo import pts_df
+
+    idx = compile_cover(make_zones(n_coast=500))
+    cov_plain = CoverTables.from_index(spark, idx)
+    prefix = "t_covb_test"
+    cov_plain.save_bucketed(spark, prefix, n_buckets=8)
+    try:
+        assert CoverTables.bucketed_exists(spark, prefix)
+        cov_b = CoverTables.load_bucketed(spark, prefix)
+        pts = pts_df(spark, "/root/testdata/sf0.001")
+        r_b = assign_via_join(pts, "event_id", cov_b).select(
+            "event_id", "zone_id", "via_knn"
+        )
+        got = {tuple(r) for r in r_b.collect()}
+        plan = _plan(r_b)
+        # the printed adaptive tree repeats scans across stages/branches —
+        # assert every cover scan is bucket-aware, none fell back
+        assert plan.count("Bucketed: true") >= 3, plan[:1500]
+        assert "Bucketed: false" not in plan
+        want = {
+            tuple(r)
+            for r in assign_via_join(pts, "event_id", cov_plain)
+            .select("event_id", "zone_id", "via_knn")
+            .collect()
+        }
+        assert got == want and len(got) > 0
+        # fresh-catalog path: drop the catalog entries (files stay), reload
+        for s in ("interior", "boundary", "knn"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+        # external re-registration must not delete files on later DROP, and
+        # must read bucket-aware again
+        cov_b2 = CoverTables.load_bucketed(spark, prefix)
+        r2 = assign_via_join(pts, "event_id", cov_b2).select(
+            "event_id", "zone_id", "via_knn"
+        )
+        assert {tuple(r) for r in r2.collect()} == want
+        p2 = _plan(r2)
+        assert p2.count("Bucketed: true") >= 3 and "Bucketed: false" not in p2
+    finally:
+        for s in ("interior", "boundary", "knn"):
+            spark.sql(f"DROP TABLE IF EXISTS t_covb_test_{s}")

@@ -160,6 +160,11 @@ def _knn_arrow(idx: CompiledIndex):
     )
 
 
+def _warehouse_dir(spark: SparkSession) -> str:
+    d = spark.conf.get("spark.sql.warehouse.dir")
+    return d[5:] if d.startswith("file:") else d
+
+
 def _df(spark: SparkSession, tbl, schema) -> DataFrame:
     try:
         return spark.createDataFrame(tbl, schema=schema)  # pyarrow Table path
@@ -255,6 +260,110 @@ class CoverTables:
             spark.read.parquet(f"{path}/knn"),
             meta["base_res"], meta["max_res"], meta["knn_res"],
             keys=tuple(meta.get("keys", ())),
+        )
+
+    # -- bucketed layout: the cover never re-shuffles ------------------------
+    #
+    # The cover is write-once probe-many; bucketing each table on EXACTLY its
+    # probe join keys makes every later resolve shuffle ONLY the narrow
+    # points side — the cover-side Exchange (the dominant shuffle volume:
+    # ~208 MB of boundary edges at reference scale, Nx that multi-tenant)
+    # disappears from every probe plan. Iceberg analog: bucket(n, keys)
+    # partition transform. Bucket cols must EQUAL the join keys — a strict
+    # subset makes the planner disable the bucketed scan (measured).
+
+    def _bucket_specs(self):
+        ks = list(self.keys)
+        return [
+            ("interior", self.interior, ks + ["res", "cell_id"]),
+            ("boundary", self.boundary, ks + ["cell_id"]),
+            ("knn", self.knn, ks + ["knn_cell"]),
+        ]
+
+    def save_bucketed(self, spark: SparkSession, prefix: str, n_buckets: int = 32):
+        """Persist the three cover tables BUCKETED+SORTED on their probe join
+        keys as catalog tables ``{prefix}_{interior,boundary,knn}`` plus a
+        meta sidecar in the warehouse dir for cross-session re-registration
+        (the in-memory catalog forgets bucket metadata between sessions; the
+        sidecar lets load_bucketed re-declare the same spec over the same
+        files)."""
+        import json
+        import os
+
+        import os as _os
+
+        wh = _warehouse_dir(spark)
+        for suffix, df, cols in self._bucket_specs():
+            t = f"{prefix}_{suffix}"
+            # EXTERNAL (explicit path): the content-addressed files outlive
+            # any catalog entry — dropping the table never deletes the cover.
+            # Repartition on the bucket keys first: without it every writer
+            # partition emits a slice of every bucket (P x B small files; a
+            # bucket's scan task then opens P files), with it each bucket is
+            # exactly one file.
+            (
+                df.repartition(n_buckets, *[F.col(c) for c in cols])
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, *cols)
+                .sortBy(*cols)
+                .option("path", _os.path.join(wh, t))
+                .saveAsTable(t)
+            )
+        meta = {
+            "base_res": self.base_res, "max_res": self.max_res,
+            "knn_res": self.knn_res, "keys": list(self.keys),
+            "n_buckets": n_buckets,
+        }
+        with open(os.path.join(_warehouse_dir(spark), f"{prefix}_meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def bucketed_exists(cls, spark: SparkSession, prefix: str) -> bool:
+        import os
+
+        return os.path.exists(
+            os.path.join(_warehouse_dir(spark), f"{prefix}_meta.json")
+        )
+
+    @classmethod
+    def load_bucketed(cls, spark: SparkSession, prefix: str) -> "CoverTables":
+        """Open a save_bucketed cover. If the session catalog does not know
+        the tables yet (fresh session over an existing warehouse), re-declare
+        them as external bucketed tables over the written files — bucket ids
+        are encoded in the part-file names, so the re-declared spec reads
+        bucket-aware."""
+        import json
+        import os
+
+        wh = _warehouse_dir(spark)
+        with open(os.path.join(wh, f"{prefix}_meta.json")) as f:
+            meta = json.load(f)
+        ks = list(meta.get("keys", ()))
+        specs = [
+            ("interior", ks + ["res", "cell_id"]),
+            ("boundary", ks + ["cell_id"]),
+            ("knn", ks + ["knn_cell"]),
+        ]
+        dfs = {}
+        for suffix, cols in specs:
+            t = f"{prefix}_{suffix}"
+            if not spark.catalog.tableExists(t):
+                loc = os.path.join(wh, t)
+                sch = spark.read.parquet(loc).schema
+                col_sql = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields
+                )
+                bcols = ", ".join(f"`{c}`" for c in cols)
+                spark.sql(
+                    f"CREATE TABLE {t} ({col_sql}) USING PARQUET "
+                    f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                    f"INTO {meta['n_buckets']} BUCKETS LOCATION '{loc}'"
+                )
+            dfs[suffix] = spark.table(t)
+        return cls(
+            dfs["interior"], dfs["boundary"], dfs["knn"],
+            meta["base_res"], meta["max_res"], meta["knn_res"],
+            keys=tuple(ks),
         )
 
 
