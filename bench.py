@@ -152,14 +152,15 @@ def headline_queries(spark, images):
     # world_lookup_join treats its cover as a prebuilt table.
     from tzspark.covertable import CoverTables, assign_images_via_join
 
-    mt_path = os.path.join(
-        CACHE, "covers", "mt2_" + tl_world._content_key()[:16]
-    )
-    if not os.path.exists(os.path.join(mt_path, "meta.json")):
+    # bucketed on (tenant, ..., cell): the 2x-world cover (415 MB as plain
+    # parquet) never re-exchanges — doubly important here since multi-tenant
+    # is by definition the past-the-broadcast-budget regime
+    mt_prefix = "covbmt2_" + tl_world._content_key()[:16]
+    if not CoverTables.bucketed_exists(spark, mt_prefix):
         CoverTables.union_tenants(
             spark, {"a": tl_world.idx, "b": tl_world.idx}
-        ).save(mt_path)
-    cov_mt = CoverTables.load(spark, mt_path)
+        ).save_bucketed(spark, mt_prefix, n_buckets=max(CPUS, 32))
+    cov_mt = CoverTables.load_bucketed(spark, mt_prefix)
 
     # BUCKETED cover layout: the same broadcast-free lookup with the cover
     # bucketed+sorted on its probe join keys — every probe then shuffles
