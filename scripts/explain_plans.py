@@ -210,6 +210,42 @@ def main():
     if len(re.findall(r"ArrowEvalPython", p6c)) > 3:
         failures.append("multi-tenant: Python stages exceed the cached bound")
 
+    # 6d. BUCKETED cover probe: the cover persisted via save_bucketed (each
+    # table bucketed on exactly its probe join keys) must scan bucket-aware
+    # everywhere — zero cover-side Exchange, so a resolve shuffles only the
+    # narrow points side. This is the write-once probe-many layout that
+    # removes the dominant shuffle volume (~208 MB of boundary edges at
+    # reference scale) from every later lookup job; Iceberg analog:
+    # bucket(n, keys) partition transform.
+    prefix = "plans_covb"
+    CoverTables.from_index(spark, idx_t).save_bucketed(spark, prefix, n_buckets=8)
+    try:
+        cov_b = CoverTables.load_bucketed(spark, prefix)
+        r_b = assign_via_join(pts_df(spark, sf_small), "event_id", cov_b).select(
+            "event_id", "zone_id", "via_knn"
+        )
+        p6d = plan_of(r_b)
+        sections.append(("bucketed cover probe (zero cover-side shuffle)", p6d))
+        if p6d.count("Bucketed: true") < 3:
+            failures.append(
+                f"bucketed-cover: only {p6d.count('Bucketed: true')} bucket-aware "
+                "scans (expected >= 3: interior, boundary, knn)"
+            )
+        if "Bucketed: false" in p6d:
+            failures.append(
+                "bucketed-cover: a cover scan fell back to a non-bucketed read"
+            )
+        n_ex6b = len(re.findall(r"\(\d+\) Exchange\b", p6b))
+        n_ex6d = len(re.findall(r"\(\d+\) Exchange\b", p6d))
+        if n_ex6d >= n_ex6b:
+            failures.append(
+                f"bucketed-cover: {n_ex6d} Exchanges, not fewer than the "
+                f"in-memory cover path's {n_ex6b} — bucketing removed no shuffle"
+            )
+    finally:
+        for s in ("interior", "boundary", "knn"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
+
     # 7. as-of join (union-and-last-value form): NO join operator at all —
     # one Exchange on user_id feeds the window; sessionization's two windows
     # share the same partitioning, so its only extra Exchange is the final
