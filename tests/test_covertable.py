@@ -167,3 +167,49 @@ def test_union_tenants_isolation(spark):
     lg = np.array([5.0, 45.0], np.float32)
     assert resolve_points(ia, la, lg).tolist() == [0, -1]
     assert knn_fallback(ib, la[:1], lg[:1]).tolist() == [0]
+
+
+def test_radius_join_equals_bruteforce(spark):
+    """radius_join (grid-blocked distance-bounded join) must return exactly
+    the brute-force pair set at several radii and block resolutions,
+    including r=0 (bbox containment/touch), a radius larger than a cell,
+    and rectangles clamped at the domain edge."""
+    from tzspark.covertable import radius_join
+
+    rng = np.random.default_rng(23)
+    n_pts, n_zones = 400, 30
+    lat = rng.uniform(-89.9, 89.9, n_pts).astype(np.float32)
+    lng = rng.uniform(-179.9, 179.9, n_pts).astype(np.float32)
+    la0 = rng.uniform(-88, 80, n_zones)
+    lg0 = rng.uniform(-178, 160, n_zones)
+    la1 = la0 + rng.uniform(0.5, 15, n_zones)
+    lg1 = lg0 + rng.uniform(0.5, 15, n_zones)
+
+    p = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lng[i])) for i in range(n_pts)],
+        "k long, lat double, lng double",
+    )
+    z = spark.createDataFrame(
+        [
+            (int(j), float(la0[j]), float(lg0[j]), float(la1[j]), float(lg1[j]))
+            for j in range(n_zones)
+        ],
+        "zone_id long, min_lat double, min_lng double, max_lat double, max_lng double",
+    )
+
+    la64 = lat.astype(np.float64)[:, None]
+    lg64 = lng.astype(np.float64)[:, None]
+    dlat = np.maximum(np.maximum(la0[None] - la64, la64 - la1[None]), 0.0)
+    dlng = np.maximum(np.maximum(lg0[None] - lg64, lg64 - lg1[None]), 0.0)
+    d2 = dlat * dlat + dlng * dlng
+
+    for radius, res in [(0.0, 5), (2.5, 6), (8.0, 4), (8.0, 7)]:
+        got = {
+            (r["k"], r["zone_id"])
+            for r in radius_join(p, "k", z, radius=radius, res=res).collect()
+        }
+        want = {
+            (int(i), int(j))
+            for i, j in zip(*np.nonzero(d2 <= radius * radius))
+        }
+        assert got == want, (radius, res, len(got), len(want))

@@ -616,3 +616,113 @@ def assign_images_via_join(
         "cell_id", cell_id_col(F.col("lat"), F.col("lng"), cover.max_res)
     )
     return assign_via_join(ok, key_col, cover, persist=persist)
+
+
+# ---------------------------------------------------------------------------
+# distance-bounded (radius) join
+# ---------------------------------------------------------------------------
+
+
+def _grid_rowcol_range(lat_lo, lat_hi, lng_lo, lng_hi, res: int):
+    """(row0, row1, col0, col1) Columns of the grid cells a [lat_lo,lat_hi] x
+    [lng_lo,lng_hi] rectangle overlaps at ``res`` — the same clamp-to-domain
+    arithmetic as cells.cell_id_col, applied to a range instead of a point."""
+    n = 1 << res
+
+    def _row(x):
+        return F.least(
+            F.greatest(F.floor((x + 90.0) / 180.0 * n).cast("bigint"), F.lit(0)),
+            F.lit(n - 1),
+        )
+
+    def _col(x):
+        return F.least(
+            F.greatest(F.floor((x + 180.0) / 360.0 * n).cast("bigint"), F.lit(0)),
+            F.lit(n - 1),
+        )
+
+    return _row(lat_lo), _row(lat_hi), _col(lng_lo), _col(lng_hi)
+
+
+def radius_join(
+    points: DataFrame,
+    key_col: str,
+    zones_bbox: DataFrame,
+    radius: float,
+    res: int = 6,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Distance-bounded spatial join: every (point, zone) pair whose squared
+    MBR clamp distance is <= radius**2 — the range/radius generalization of
+    the J2 nearest-zone operator (timezone.go nearest-fallback semantics,
+    argmin relaxed to "all zones within r").
+
+    Grid-blocked and fully relational, nothing broadcast: each side
+    enumerates the grid cells its search rectangle overlaps at resolution
+    ``res`` (the zone side its bbox, the point side the [lat+-r, lng+-r]
+    disc bound) via sequence()+explode, and candidates meet in a cell
+    equi-join. Any zone within r of a point has a bbox intersecting the
+    point's rectangle, and two overlapping rectangles always share at least
+    one grid cell both enumerated — so the candidate set is complete while
+    staying (cells/point x zones/cell), never |points| x |zones|. The exact
+    clamp-distance filter (float64 from float32 coords, the q12 oracle
+    formula) keeps true pairs; pairs met through several shared cells
+    collapse via distinct on deterministic columns.
+
+    100 TB shape: shuffles on cell id like every cover probe; dense-cell
+    skew is ordinary join skew (AQE skew-split applies) and the exploded
+    zone side is write-once — persist it bucketed on `cell` exactly like
+    save_bucketed's cover tables to take its Exchange off the steady path.
+
+    Returns (key, zone_id:int, dist2:double) — one row per qualifying pair.
+    """
+    n = 1 << res
+    r = float(radius)
+
+    la = F.col(lat_col).cast("float").cast("double")
+    lg = F.col(lng_col).cast("float").cast("double")
+    pr0, pr1, pc0, pc1 = _grid_rowcol_range(la - r, la + r, lg - r, lg + r, res)
+    p = (
+        points.select(
+            F.col(key_col).alias("_k"),
+            la.alias("_lat"),
+            lg.alias("_lng"),
+            pr0.alias("_r0"), pr1.alias("_r1"), pc0.alias("_c0"), pc1.alias("_c1"),
+        )
+        .withColumn("_row", F.explode(F.sequence("_r0", "_r1")))
+        .withColumn("_col", F.explode(F.sequence("_c0", "_c1")))
+        .select("_k", "_lat", "_lng", (F.col("_row") * n + F.col("_col")).alias("_cell"))
+    )
+
+    zr0, zr1, zc0, zc1 = _grid_rowcol_range(
+        F.col("min_lat"), F.col("max_lat"), F.col("min_lng"), F.col("max_lng"), res
+    )
+    z = (
+        zones_bbox.select(
+            F.col("zone_id").cast("int").alias("zone_id"),
+            "min_lat", "min_lng", "max_lat", "max_lng",
+            zr0.alias("_r0"), zr1.alias("_r1"), zc0.alias("_c0"), zc1.alias("_c1"),
+        )
+        .withColumn("_row", F.explode(F.sequence("_r0", "_r1")))
+        .withColumn("_col", F.explode(F.sequence("_c0", "_c1")))
+        .select(
+            "zone_id", "min_lat", "min_lng", "max_lat", "max_lng",
+            (F.col("_row") * n + F.col("_col")).alias("_cell"),
+        )
+    )
+
+    j = p.join(z.hint("shuffle_hash"), "_cell")
+    dlat = F.greatest(
+        F.col("min_lat") - F.col("_lat"), F.col("_lat") - F.col("max_lat"), F.lit(0.0)
+    )
+    dlng = F.greatest(
+        F.col("min_lng") - F.col("_lng"), F.col("_lng") - F.col("max_lng"), F.lit(0.0)
+    )
+    d2 = dlat * dlat + dlng * dlng
+    return (
+        j.withColumn("dist2", d2)
+        .where(F.col("dist2") <= r * r)
+        .select(F.col("_k").alias(key_col), "zone_id", "dist2")
+        .distinct()
+    )

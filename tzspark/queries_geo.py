@@ -647,7 +647,42 @@ LEFT JOIN (SELECT event_id, zone_id FROM knn WHERE rn = 1) k USING (event_id)
 """
 
 
+def q53_radius_join(spark, sf_dir):
+    """Distance-bounded spatial join (covertable.radius_join): every
+    (point, zone) pair with squared MBR clamp distance <= 4^2 degrees —
+    the J2 nearest-zone operator relaxed from argmin to "all within r".
+    Grid-blocked via sequence()+explode cell enumeration on BOTH sides
+    meeting in a cell equi-join (complete: overlapping rectangles always
+    share an enumerated cell), exact clamp-dist filter in float64 from
+    float32 coords. Oracle: the brute-force cross join with the identical
+    distance arithmetic."""
+    from .covertable import radius_join
+
+    p = pts_df(spark, sf_dir)
+    z = boxes_df(spark, sf_dir)
+    return radius_join(p, "event_id", z, radius=4.0, res=6).select(
+        "event_id", "zone_id", F.round("dist2", 6).alias("dist2")
+    )
+
+
+_D2_SQL = (
+    "(GREATEST(b.min_lat - CAST(p.lat AS FLOAT), CAST(p.lat AS FLOAT) - b.max_lat, 0)"
+    " * GREATEST(b.min_lat - CAST(p.lat AS FLOAT), CAST(p.lat AS FLOAT) - b.max_lat, 0)"
+    " + GREATEST(b.min_lng - CAST(p.lng AS FLOAT), CAST(p.lng AS FLOAT) - b.max_lng, 0)"
+    " * GREATEST(b.min_lng - CAST(p.lng AS FLOAT), CAST(p.lng AS FLOAT) - b.max_lng, 0))"
+)
+
+Q53_SQL = f"""
+WITH pts AS ({PTS_SQL}), boxes AS ({BOXES_SQL})
+SELECT p.event_id, CAST(b.zone_id AS INTEGER) AS zone_id,
+       ROUND({_D2_SQL}, 6) AS dist2
+FROM pts p CROSS JOIN boxes b
+WHERE {_D2_SQL} <= 16.0
+"""
+
+
 GEO_QUERIES = {
+    "q53_radius_join": (q53_radius_join, Q53_SQL),
     "q52_multi_tenant_resolve": (q52_multi_tenant_resolve, Q52_SQL),
     "q28_frame_sample": (q28_frame_sample, Q28_SQL),
     "q36_pricing_summary": (q36_pricing_summary, Q36_SQL),
