@@ -213,3 +213,36 @@ def test_radius_join_equals_bruteforce(spark):
             for i, j in zip(*np.nonzero(d2 <= radius * radius))
         }
         assert got == want, (radius, res, len(got), len(want))
+
+
+def test_proximity_self_join_equals_bruteforce(spark):
+    """proximity_self_join must return exactly the brute-force pair set —
+    including coincident points (dist 0), pairs straddling cell borders,
+    and radii larger than a cell."""
+    from tzspark.covertable import proximity_self_join
+
+    rng = np.random.default_rng(29)
+    n = 300
+    lat = rng.uniform(-89.9, 89.9, n).astype(np.float32)
+    lng = rng.uniform(-179.9, 179.9, n).astype(np.float32)
+    # force clusters + exact duplicates so the interesting cases exist
+    lat[50:80] = lat[20] + rng.uniform(-1, 1, 30).astype(np.float32)
+    lng[50:80] = lng[20] + rng.uniform(-1, 1, 30).astype(np.float32)
+    lat[90] , lng[90] = lat[91], lng[91]
+
+    p = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lng[i])) for i in range(n)],
+        "k long, lat double, lng double",
+    )
+    la = lat.astype(np.float64)
+    lg = lng.astype(np.float64)
+    d2 = (la[:, None] - la[None]) ** 2 + (lg[:, None] - lg[None]) ** 2
+
+    for radius, res in [(0.5, 8), (2.0, 6), (2.0, 9)]:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in proximity_self_join(p, "k", radius=radius, res=res).collect()
+        }
+        ii, jj = np.nonzero(d2 <= radius * radius)
+        want = {(int(i), int(j)) for i, j in zip(ii, jj) if i < j}
+        assert got == want, (radius, res, len(got), len(want))

@@ -726,3 +726,62 @@ def radius_join(
         .select(F.col("_k").alias(key_col), "zone_id", "dist2")
         .distinct()
     )
+
+
+def proximity_self_join(
+    points: DataFrame,
+    key_col: str,
+    radius: float,
+    res: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Spatial self-join: every unordered pair of points within ``radius``
+    degrees (exact Euclidean on float32-truncated coords) — the geo analog
+    of the near-duplicate operators (queries_text), e.g. "image pairs taken
+    at the same spot".
+
+    Blocking is asymmetric, which makes dedup free: the LEFT side
+    enumerates every grid cell its [lat+-r, lng+-r] rectangle overlaps
+    (sequence()+explode, as in radius_join); the RIGHT side maps each point
+    to its single containing cell. If |a-b| <= r then b's point lies inside
+    a's rectangle, so b's one cell is among a's enumerated cells — complete
+    — and because the right side contributes exactly one cell per point,
+    each candidate pair arises in exactly one cell: no distinct needed.
+    ``a.key < b.key`` keeps one orientation. Candidates are bounded by
+    points-per-cell x cells-per-rectangle; dense-cell skew is ordinary join
+    skew (AQE-splittable), never |N|^2.
+
+    Returns (id_a, id_b, dist2:double), id_a < id_b.
+    """
+    n = 1 << res
+    r = float(radius)
+
+    la = F.col(lat_col).cast("float").cast("double")
+    lg = F.col(lng_col).cast("float").cast("double")
+    r0, r1, c0, c1 = _grid_rowcol_range(la - r, la + r, lg - r, lg + r, res)
+    a = (
+        points.select(
+            F.col(key_col).alias("id_a"), la.alias("_lat_a"), lg.alias("_lng_a"),
+            r0.alias("_r0"), r1.alias("_r1"), c0.alias("_c0"), c1.alias("_c1"),
+        )
+        .withColumn("_row", F.explode(F.sequence("_r0", "_r1")))
+        .withColumn("_col", F.explode(F.sequence("_c0", "_c1")))
+        .select(
+            "id_a", "_lat_a", "_lng_a",
+            (F.col("_row") * n + F.col("_col")).alias("_cell"),
+        )
+    )
+    b = points.select(
+        F.col(key_col).alias("id_b"), la.alias("_lat_b"), lg.alias("_lng_b"),
+        cell_id_col(F.col(lat_col), F.col(lng_col), res).alias("_cell"),
+    )
+    j = a.join(b.hint("shuffle_hash"), "_cell").where(F.col("id_a") < F.col("id_b"))
+    dlat = F.col("_lat_a") - F.col("_lat_b")
+    dlng = F.col("_lng_a") - F.col("_lng_b")
+    d2 = dlat * dlat + dlng * dlng
+    return (
+        j.withColumn("dist2", d2)
+        .where(F.col("dist2") <= r * r)
+        .select("id_a", "id_b", "dist2")
+    )

@@ -681,7 +681,41 @@ WHERE {_D2_SQL} <= 16.0
 """
 
 
+def q54_proximity_pairs(spark, sf_dir):
+    """Spatial self-join (covertable.proximity_self_join): all unordered
+    point pairs within 0.75 degrees — geo near-duplicate detection ("images
+    taken at the same spot"). Asymmetric cell blocking: the left side
+    enumerates its radius-rectangle cells, the right side sits in its one
+    containing cell, so every true pair arises in exactly one cell (no
+    dedup pass) and candidates stay points/cell x cells/rect, never N^2.
+    Oracle: brute-force self cross join with identical f64-from-f32
+    Euclidean arithmetic."""
+    from .covertable import proximity_self_join
+
+    p = pts_df(spark, sf_dir)
+    return proximity_self_join(p, "event_id", radius=0.75, res=8).select(
+        "id_a", "id_b", F.round("dist2", 6).alias("dist2")
+    )
+
+
+_PP_D2_SQL = (
+    "((CAST(CAST(a.lat AS FLOAT) AS DOUBLE) - CAST(CAST(b.lat AS FLOAT) AS DOUBLE))"
+    " * (CAST(CAST(a.lat AS FLOAT) AS DOUBLE) - CAST(CAST(b.lat AS FLOAT) AS DOUBLE))"
+    " + (CAST(CAST(a.lng AS FLOAT) AS DOUBLE) - CAST(CAST(b.lng AS FLOAT) AS DOUBLE))"
+    " * (CAST(CAST(a.lng AS FLOAT) AS DOUBLE) - CAST(CAST(b.lng AS FLOAT) AS DOUBLE)))"
+)
+
+Q54_SQL = f"""
+WITH pts AS ({PTS_SQL})
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       ROUND({_PP_D2_SQL}, 6) AS dist2
+FROM pts a JOIN pts b ON a.event_id < b.event_id
+WHERE {_PP_D2_SQL} <= 0.5625
+"""
+
+
 GEO_QUERIES = {
+    "q54_proximity_pairs": (q54_proximity_pairs, Q54_SQL),
     "q53_radius_join": (q53_radius_join, Q53_SQL),
     "q52_multi_tenant_resolve": (q52_multi_tenant_resolve, Q52_SQL),
     "q28_frame_sample": (q28_frame_sample, Q28_SQL),
