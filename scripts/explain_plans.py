@@ -246,6 +246,29 @@ def main():
         for s in ("interior", "boundary", "knn"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{s}")
 
+    # 6e. distance joins (radius + proximity self-join): grid-blocked cell
+    # equi-joins — the plan must contain NO CartesianProduct and NO
+    # BroadcastNestedLoopJoin (the shapes a naive theta-join would produce)
+    # and zero Python stages: the distance arithmetic is pure column ops.
+    from tzspark.covertable import proximity_self_join, radius_join
+    from tzspark.queries_geo import boxes_df
+
+    p6e = plan_of(
+        radius_join(pts_df(spark, sf_small), "event_id",
+                    boxes_df(spark, sf_small), radius=4.0, res=6)
+    )
+    sections.append(("radius join (grid-blocked distance join)", p6e))
+    p6f = plan_of(
+        proximity_self_join(pts_df(spark, sf_small), "event_id",
+                            radius=0.75, res=8)
+    )
+    sections.append(("proximity self-join (asymmetric cell blocking)", p6f))
+    for tag, pl in (("radius-join", p6e), ("proximity-join", p6f)):
+        if "CartesianProduct" in pl or "BroadcastNestedLoopJoin" in pl:
+            failures.append(f"{tag}: plan degenerates to an all-pairs join")
+        if re.search(r"ArrowEvalPython|MapInPandas|MapInArrow", pl):
+            failures.append(f"{tag}: unexpected Python stage (should be pure column ops)")
+
     # 7. as-of join (union-and-last-value form): NO join operator at all —
     # one Exchange on user_id feeds the window; sessionization's two windows
     # share the same partitioning, so its only extra Exchange is the final
