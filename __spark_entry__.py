@@ -9,9 +9,11 @@ Engine: tzspark/ — see SURVEY.md. Geo queries derive points from `events`
 and rectangular zones from `nation` (FIXTURES.md §4); q10-q12 run the real
 float32 PIP / cell-cover / kNN kernels inside pandas UDFs against pure-SQL
 oracles. Text/similarity queries cover the training-data operator families
-over `documents` / `embeddings`. Queries q24+ are not ANSI-SQL-expressible
-(image decode, raster tiling, full synthetic-zone engine) -> rows-only
-driver check + pytest goldens (tests/).
+over `documents` / `embeddings`. The image queries (q24-q30) are oracle-
+checked too: the synthetic pixels and the codec are pure arithmetic in the
+row index, so decoded channel sums / PSNR / tile raster stats are exactly
+SQL-expressible (COVERAGE.md "pixel-synthesis SQL oracles"). All 54
+queries carry a value-level DuckDB oracle.
 """
 
 from __future__ import annotations
