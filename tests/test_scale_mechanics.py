@@ -287,3 +287,43 @@ def test_bucketed_cover_probe_skips_cover_shuffle(spark, tmp_path):
     finally:
         for s in ("interior", "boundary", "knn"):
             spark.sql(f"DROP TABLE IF EXISTS t_covb_test_{s}")
+
+
+def test_proximity_join_at_scale_planted_cluster(spark):
+    """Distance self-join at meaningful size: 200k points world-wide plus a
+    planted 80-point cluster inside one 0.1-degree disc. The join must (a)
+    finish as a cell equi-join (no all-pairs operator in the plan), (b)
+    return every planted pair, and (c) return only correct pairs on a
+    verified sample — completeness and soundness without a 200k^2 brute
+    force."""
+    import numpy as np
+
+    from tzspark.covertable import proximity_self_join
+
+    rng = np.random.default_rng(31)
+    n = 200_000
+    lat = rng.uniform(-89.9, 89.9, n).astype(np.float32)
+    lng = rng.uniform(-179.9, 179.9, n).astype(np.float32)
+    lat[:80] = 40.0 + rng.uniform(0, 0.07, 80).astype(np.float32)
+    lng[:80] = -100.0 + rng.uniform(0, 0.07, 80).astype(np.float32)
+
+    import pandas as pd
+
+    p = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                      "lat": lat.astype(np.float64),
+                      "lng": lng.astype(np.float64)})
+    ).repartition(16)
+    res = proximity_self_join(p, "k", radius=0.5, res=8)
+    plan = _plan(res)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = res.collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    # completeness: every planted pair (cluster diameter < 0.1*sqrt(2) << r)
+    planted = {(i, j) for i in range(80) for j in range(i + 1, 80)}
+    assert planted <= got
+    # soundness: every returned pair really is within r (check all — cheap)
+    la, lg = lat.astype(np.float64), lng.astype(np.float64)
+    for a, b in got:
+        d2 = (la[a] - la[b]) ** 2 + (lg[a] - lg[b]) ** 2
+        assert d2 <= 0.25 + 1e-12, (a, b, d2)
