@@ -85,6 +85,25 @@ def ensure_images(spark) -> str:
     return path
 
 
+def ensure_points(spark, images) -> str:
+    """Extract + cache the (image_id, lat, lng) point table once, so the
+    distance-join headline times the JOIN, not the GPS extraction (which
+    pipeline_lookup already times)."""
+    path = os.path.join(CACHE, f"points_{_sf_tag()}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from tzspark.engine import extract_gps_udf, gps_header_col
+
+        g = images.withColumn(
+            "g", extract_gps_udf()(gps_header_col(F.col("bytes")))
+        )
+        g.where(F.col("g.gps_ok")).select(
+            "image_id", F.col("g.lat").alias("lat"), F.col("g.lng").alias("lng")
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def run_pipeline(spark, images):
     """The flagship lookup: extract -> cell encode -> broadcast cover probe
     (resolve + kNN one pass) -> tzid broadcast join -> per-zone rollup."""
@@ -210,7 +229,21 @@ def headline_queries(spark, images):
 
     from tzspark.engine import lookup_tile_onepass
 
+    # distance self-join over the full image point set (geo near-dup): cell
+    # blocking at res 10 keeps candidates ~points/cell x 4 cells, never N^2
+    pts = spark.read.parquet(ensure_points(spark, images))
+
+    def _proximity():
+        from tzspark.covertable import proximity_self_join
+
+        return proximity_self_join(
+            pts, "image_id", radius=0.05, res=10
+        ).groupBy().agg(
+            F.count("*").alias("n_pairs"), F.sum("dist2").alias("s")
+        )
+
     return {
+        "proximity_pairs": _proximity,
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
         "world_lookup_join": _world_lookup_join,
