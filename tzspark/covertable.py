@@ -785,3 +785,78 @@ def proximity_self_join(
         .where(F.col("dist2") <= r * r)
         .select("id_a", "id_b", "dist2")
     )
+
+
+def geo_dbscan(
+    points: DataFrame,
+    key_col: str,
+    eps: float,
+    min_pts: int,
+    res: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Distributed DBSCAN over geo points.
+
+    eps-pairs from the cell-blocked ``proximity_self_join`` (candidates are
+    points/cell x cells/rect, never N^2), degree from one groupBy, clusters
+    from pointer-jumping connected components over core-core edges
+    (queries_text.min_label_cc, O(log L) rounds, lineage-checkpointed),
+    border points join their MINIMUM core-neighbor cluster.
+
+    Deterministic, scan-order-free convention (classic DBSCAN assigns
+    borders to whichever core reached them first): core = >= min_pts
+    NEIGHBORS within eps (self excluded); border = non-core with >= 1 core
+    neighbor, cluster = min over those cores' cluster ids; cluster_id = min
+    member key of the component; noise = cluster_id -1.
+
+    Returns DataFrame(<key_col>, role: core|border|noise, cluster_id:long).
+    Every stage is a keyed join/agg on bounded keys — dense-cell skew is
+    ordinary join skew (AQE-splittable), and the CC loop's state is one row
+    per CORE point, not per pair.
+    """
+    from .queries_text import min_label_cc
+
+    pairs = proximity_self_join(
+        points, key_col, radius=eps, res=res, lat_col=lat_col, lng_col=lng_col
+    ).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
+    cores = deg.where(F.col("deg") >= min_pts).select(F.col("id_a").alias("_k"))
+    ce = (
+        edges.join(cores.select(F.col("_k").alias("id_a")), "id_a")
+        .join(cores.select(F.col("_k").alias("id_b")), "id_b")
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labels, _ = min_label_cc(ce)
+    core_lab = cores.join(labels, cores["_k"] == labels["doc_id"], "left").select(
+        cores["_k"],
+        F.coalesce("canon_id", cores["_k"]).cast("long").alias("cluster_id"),
+    )
+    border = (
+        edges.join(
+            core_lab.select(
+                F.col("_k").alias("id_b"), F.col("cluster_id").alias("_cid")
+            ),
+            "id_b",
+        )
+        .join(cores.select(F.col("_k").alias("id_a")), "id_a", "left_anti")
+        .groupBy("id_a")
+        .agg(F.min("_cid").alias("cluster_id"))
+        .select(F.col("id_a").alias("_k"), "cluster_id")
+    )
+    assigned = core_lab.select(
+        "_k", F.lit("core").alias("role"), "cluster_id"
+    ).union(border.select("_k", F.lit("border").alias("role"), "cluster_id"))
+    noise = (
+        points.select(F.col(key_col).alias("_k"))
+        .join(assigned.select("_k"), "_k", "left_anti")
+        .select(
+            "_k",
+            F.lit("noise").alias("role"),
+            F.lit(-1).cast("long").alias("cluster_id"),
+        )
+    )
+    return assigned.union(noise).withColumnRenamed("_k", key_col)

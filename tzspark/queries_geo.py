@@ -714,7 +714,87 @@ WHERE {_PP_D2_SQL} <= 0.5625
 """
 
 
+# density clustering over the event points: eps-neighborhood degree from the
+# cell-blocked proximity join, DBSCAN roles, clusters = connected components
+_DBSCAN_EPS = 2.0
+_DBSCAN_MINPTS = 4
+
+
+def q57_geo_dbscan(spark, sf_dir):
+    """DBSCAN over geo points, fully distributed: eps-pairs come from the
+    cell-blocked ``proximity_self_join`` (never N^2), degrees from one
+    groupBy, clusters from pointer-jumping connected components over
+    core-core edges (O(log L) rounds), border points join their minimum
+    core cluster. Convention (deterministic, order-free — classic DBSCAN
+    assigns borders by scan order): core = >= minPts NEIGHBORS (self
+    excluded), border = non-core with a core neighbor, assigned
+    min(cluster_id); cluster_id = min event_id in the component; noise =
+    -1. Scale shape: every stage is a keyed join/agg on bounded keys —
+    dense-cell skew is ordinary join skew (AQE-splittable). Operator:
+    covertable.geo_dbscan; planted-cluster pytest in tests/test_dbscan.py."""
+    from .covertable import geo_dbscan
+
+    return geo_dbscan(
+        pts_df(spark, sf_dir),
+        "event_id",
+        eps=_DBSCAN_EPS,
+        min_pts=_DBSCAN_MINPTS,
+        res=7,
+    )
+
+
+Q57_SQL = f"""
+WITH RECURSIVE pts AS ({PTS_SQL}),
+pairs AS MATERIALIZED (
+  -- banded range prefilter (slack 0.001 >> any float32-truncation delta at
+  -- these magnitudes) so DuckDB plans an IEJoin instead of the 10^8-pair
+  -- nested loop, MATERIALIZED so the 3 consumers share one evaluation;
+  -- the exact float32-arithmetic predicate still decides
+  SELECT a.event_id AS id_a, b.event_id AS id_b
+  FROM pts a JOIN pts b
+    ON a.event_id <> b.event_id
+   AND a.lat BETWEEN b.lat - {_DBSCAN_EPS + 0.001} AND b.lat + {_DBSCAN_EPS + 0.001}
+   AND a.lng BETWEEN b.lng - {_DBSCAN_EPS + 0.001} AND b.lng + {_DBSCAN_EPS + 0.001}
+  WHERE {_PP_D2_SQL} <= {_DBSCAN_EPS * _DBSCAN_EPS}
+),
+deg AS (SELECT id_a, COUNT(*) AS deg FROM pairs GROUP BY 1),
+cores AS (SELECT id_a AS event_id FROM deg WHERE deg >= {_DBSCAN_MINPTS}),
+ce AS (
+  SELECT p.id_a AS src, p.id_b AS dst FROM pairs p
+  JOIN cores ca ON ca.event_id = p.id_a
+  JOIN cores cb ON cb.event_id = p.id_b
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM ce
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN ce e ON r.dst = e.src
+),
+lab AS (SELECT src AS event_id, LEAST(src, MIN(dst)) AS canon FROM reach GROUP BY src),
+core_lab AS MATERIALIZED (
+  SELECT c.event_id, COALESCE(l.canon, c.event_id) AS cluster_id
+  FROM cores c LEFT JOIN lab l USING (event_id)
+),
+border AS (
+  SELECT p.id_a AS event_id, MIN(cl.cluster_id) AS cluster_id
+  FROM pairs p
+  JOIN core_lab cl ON cl.event_id = p.id_b
+  LEFT JOIN cores c ON c.event_id = p.id_a
+  WHERE c.event_id IS NULL
+  GROUP BY 1
+),
+asg AS (
+  SELECT event_id, 'core' AS role, cluster_id FROM core_lab
+  UNION ALL
+  SELECT event_id, 'border' AS role, cluster_id FROM border
+)
+SELECT p.event_id, COALESCE(a.role, 'noise') AS role,
+       CAST(COALESCE(a.cluster_id, -1) AS BIGINT) AS cluster_id
+FROM pts p LEFT JOIN asg a USING (event_id)
+"""
+
+
 GEO_QUERIES = {
+    "q57_geo_dbscan": (q57_geo_dbscan, Q57_SQL),
     "q54_proximity_pairs": (q54_proximity_pairs, Q54_SQL),
     "q53_radius_join": (q53_radius_join, Q53_SQL),
     "q52_multi_tenant_resolve": (q52_multi_tenant_resolve, Q52_SQL),

@@ -1350,7 +1350,281 @@ FROM o
 """
 
 
+# --- scalar quantization (SQ8) ---------------------------------------------
+#
+# FAISS-style SQ8 storage path for embedding corpora: train per-dimension
+# (min, max) over the corpus, encode each float32 vector into D uint8 codes
+# (4x smaller than float32 at 64 dims — the difference between 100 TB and
+# 25 TB of vector storage), and search with ASYMMETRIC distance (float
+# probe vs dequantized candidate — the standard quality-preserving trick).
+#
+# Scale shape: training is ONE pass producing a single 2*D-aggregate row
+# (map-side combined, no shuffle of the vectors themselves), broadcast back
+# onto the corpus as a 1-row cross join; encode/decode are pure JVM array
+# expressions (F.transform — no Python, no explode). At 10^12 vectors the
+# train pass runs over a deterministic sample instead; the encode plan is
+# unchanged.
+
+_SQ_DIMS = 64
+
+
+def _sq_stats(e, dims=_SQ_DIMS):
+    """Per-dim (min, span) over `e.embedding` in one pass -> 1-row DF with
+    `mins: array<double>`, `spans: array<double>`."""
+    aggs = []
+    for j in range(dims):
+        x = F.element_at(F.col("embedding"), j + 1).cast("double")
+        aggs.append(F.min(x).alias(f"mn{j}"))
+        aggs.append(F.max(x).alias(f"mx{j}"))
+    s = e.agg(*aggs)
+    mins = F.array(*[F.col(f"mn{j}") for j in range(dims)])
+    spans = F.array(*[(F.col(f"mx{j}") - F.col(f"mn{j}")) for j in range(dims)])
+    return s.select(mins.alias("mins"), spans.alias("spans"))
+
+
+def _sq_codes_col(mins, spans):
+    """uint8 code array: floor((x - mn) * 255 / span + 0.5); degenerate
+    (span == 0) dims encode as 0."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            F.element_at(spans, i + 1) > 0,
+            F.floor(
+                (x.cast("double") - F.element_at(mins, i + 1))
+                * 255.0
+                / F.element_at(spans, i + 1)
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def _sq_decode_col(codes, mins, spans):
+    """Dequantize: mn + code * span / 255 (the quantizer's cell lower-left;
+    matches the floor(+0.5) encoder's reconstruction levels)."""
+    return F.transform(
+        codes,
+        lambda c, i: F.element_at(mins, i + 1)
+        + c.cast("double") * F.element_at(spans, i + 1) / 255.0,
+    )
+
+
+def q55_sq8_encode(spark, sf_dir):
+    """SQ8 train + encode over the embeddings table: per-dim min/max stats
+    (one pass), uint8 codes per vector. Codes emitted as a comma-joined
+    string so the oracle hash checks every code value exactly."""
+    e = _embs(spark, sf_dir)
+    stats = _sq_stats(e)
+    codes = _sq_codes_col(F.col("mins"), F.col("spans"))
+    return (
+        e.crossJoin(F.broadcast(stats))
+        .select("vec_id", codes.alias("c"))
+        .select(
+            "vec_id",
+            F.array_join(F.transform("c", lambda x: x.cast("string")), ",").alias(
+                "codes"
+            ),
+            F.aggregate("c", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "code_sum"
+            ),
+        )
+    )
+
+
+def _sq_sql_parts(dims=_SQ_DIMS):
+    """Shared DuckDB CTE text: e (double emb), st (mins/spans lists),
+    c (uint8 code list per vector)."""
+    mins = ", ".join(f"MIN(emb[{j + 1}])" for j in range(dims))
+    spans = ", ".join(
+        f"MAX(emb[{j + 1}]) - MIN(emb[{j + 1}])" for j in range(dims)
+    )
+    code_terms = ", ".join(
+        f"CASE WHEN st.spans[{j + 1}] > 0 THEN "
+        f"CAST(FLOOR((emb[{j + 1}] - st.mins[{j + 1}]) * 255.0 / st.spans[{j + 1}] + 0.5) AS INT) "
+        f"ELSE 0 END"
+        for j in range(dims)
+    )
+    return f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+st AS (SELECT [{mins}] AS mins, [{spans}] AS spans FROM e),
+c AS (SELECT vec_id, emb, [{code_terms}] AS codes FROM e, st)
+"""
+
+
+Q55_SQL = f"""
+WITH {_sq_sql_parts()}
+SELECT vec_id, array_to_string(codes, ',') AS codes,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum
+FROM c
+"""
+
+
+def sq8_stats_np(e):
+    """Collect the 1-row train stats as numpy (mins, spans) float64 —
+    2 x D doubles to the driver; the standard small-side build collect."""
+    import numpy as np
+
+    row = _sq_stats(e).collect()[0]
+    return np.asarray(row["mins"], dtype=np.float64), np.asarray(
+        row["spans"], dtype=np.float64
+    )
+
+
+def sq8_encode_arrow(emb_df, mins, spans, dims=_SQ_DIMS):
+    """Scale-path encoder: embeddings -> (vec_id, codes BINARY(D)).
+
+    Packed uint8 bytes, not array<int> — 1 byte/dim on the wire and in
+    parquet (the 4x storage win SQ8 exists for; Spark arrays carry per-
+    element overhead that would forfeit it). One mapInArrow pass, numpy-
+    vectorized over whole record batches; semantics bit-identical to the
+    relational q55 encoder (pinned in tests/test_sq8.py)."""
+    import pyarrow as pa
+
+    def enc(it):
+        import numpy as np
+
+        sf = np.where(spans > 0, spans, 1.0)
+        for batch in it:
+            vid = batch.column("vec_id")
+            emb = np.vstack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            codes = np.floor((emb - mins) * 255.0 / sf + 0.5).astype(np.uint8)
+            codes[:, spans <= 0] = 0
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array([c.tobytes() for c in codes], type=pa.binary())],
+                names=["vec_id", "codes"],
+            )
+
+    return emb_df.mapInArrow(enc, "vec_id long, codes binary")
+
+
+def sq8_topk_arrow(codes_df, mins, spans, probes, k=10, dims=_SQ_DIMS):
+    """Asymmetric SQ8 top-k over packed codes, the 10^12-vector shape:
+    per-batch dequantize (numpy) + one dense matmul against the broadcast
+    probe block, LOCAL top-k per partition, global top-k as a tiny
+    window over k x partitions candidate rows — the shuffle carries
+    ~k rows per partition, never the corpus.
+
+    probes: numpy float64 (P, D); returns DataFrame(probe_idx, cand_id,
+    score) with exactly k rows per probe (score = cosine, full double
+    precision; ranking ties broken by cand_id)."""
+    import pyarrow as pa
+
+    def search(it):
+        import numpy as np
+
+        pn = probes / np.linalg.norm(probes, axis=1, keepdims=True)
+        sf = np.where(spans > 0, spans, 1.0)
+        # accumulate per-partition top-k across batches
+        best_s = [[] for _ in range(len(probes))]
+        for batch in it:
+            vid = batch.column("vec_id").to_numpy()
+            raw = np.frombuffer(
+                b"".join(batch.column("codes").to_pylist()), dtype=np.uint8
+            ).reshape(-1, dims)
+            dec = mins + raw.astype(np.float64) * (sf / 255.0)
+            dn = np.linalg.norm(dec, axis=1)
+            dn[dn == 0] = 1.0
+            scores = (dec @ pn.T) / dn[:, None]  # (B, P)
+            for p in range(len(probes)):
+                sp = scores[:, p]
+                if len(sp) > k:
+                    idx = np.argpartition(-sp, k)[:k]
+                else:
+                    idx = np.arange(len(sp))
+                best_s[p].extend(zip(sp[idx].tolist(), vid[idx].tolist()))
+        out_p, out_id, out_s = [], [], []
+        for p, cand in enumerate(best_s):
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            for s, v in cand[:k]:
+                out_p.append(p)
+                out_id.append(int(v))
+                out_s.append(float(s))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_p, pa.int32()), pa.array(out_id, pa.int64()),
+             pa.array(out_s, pa.float64())],
+            names=["probe_idx", "cand_id", "score"],
+        )
+
+    local = codes_df.mapInArrow(search, "probe_idx int, cand_id long, score double")
+    w = Window.partitionBy("probe_idx").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("probe_idx", "cand_id", "score", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def q56_sq8_search(spark, sf_dir):
+    """Asymmetric SQ8 top-3: float probes (vec_id < 10) scored against
+    DEQUANTIZED corpus vectors (vec_id >= 10) by cosine — q21's exact
+    search run over 4x-compressed storage. tests/test_sq8.py pins the
+    recall of this against q21's exact top-3."""
+    e = _embs(spark, sf_dir)
+    stats = _sq_stats(e)
+    dec = _sq_decode_col(
+        _sq_codes_col(F.col("mins"), F.col("spans")), F.col("mins"), F.col("spans")
+    )
+    corpus = (
+        e.where(F.col("vec_id") >= 10)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("vec_id").alias("cand_id"), dec.alias("ce"))
+    )
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    x = corpus.crossJoin(F.broadcast(probes))
+    qcos = F.round(
+        _dot(F.col("pe"), F.col("ce"))
+        / (
+            F.sqrt(_dot(F.col("pe"), F.col("pe")))
+            * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+        ),
+        4,
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("qcosine"), F.asc("cand_id"))
+    return (
+        x.withColumn("qcosine", qcos)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "probe_id", "cand_id", "qcosine", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
+def _sq_dec_terms(dims=_SQ_DIMS):
+    return ", ".join(
+        f"st.mins[{j + 1}] + codes[{j + 1}] * st.spans[{j + 1}] / 255.0"
+        for j in range(dims)
+    )
+
+
+Q56_SQL = f"""
+WITH {_sq_sql_parts()},
+dec AS (SELECT vec_id, [{_sq_dec_terms()}] AS dec FROM c, st),
+probes AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id < 10),
+corpus AS (SELECT vec_id AS cand_id, dec AS ce FROM dec WHERE vec_id >= 10),
+scored AS (
+  SELECT p.probe_id, c.cand_id,
+         ROUND(list_dot_product(p.pe, c.ce) /
+               (SQRT(list_dot_product(p.pe, p.pe)) * SQRT(list_dot_product(c.ce, c.ce))), 4) AS qcosine
+  FROM corpus c CROSS JOIN probes p
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qcosine DESC, cand_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, cand_id, qcosine, CAST(rnk AS INTEGER) AS rnk FROM rk WHERE rnk <= 3
+"""
+
+
 TEXT_QUERIES = {
+    "q55_sq8_encode": (q55_sq8_encode, Q55_SQL),
+    "q56_sq8_search": (q56_sq8_search, Q56_SQL),
     "q50_chunk_documents": (q50_chunk_documents, Q50_SQL),
     "q51_sequence_pack": (q51_sequence_pack, Q51_SQL),
     "q47_tfidf_topterms": (q47_tfidf_topterms, Q47_SQL),
