@@ -104,6 +104,30 @@ def ensure_points(spark, images) -> str:
     return path
 
 
+SQ8_ROWS = int(os.environ.get("SPARK_GRAFT_SQ8_ROWS", "1000000"))
+
+
+def ensure_sq8(spark):
+    """Synthesize SQ8_ROWS x 64 embeddings, train per-dim stats (one Spark
+    pass), encode to packed-binary codes, cache codes parquet + stats.
+    Returns (codes_path, mins, spans, probes[8 x 64 float64])."""
+    import numpy as np
+
+    from tzspark.datasets import embeddings_df, synth_embeddings
+    from tzspark.queries_text import sq8_encode_arrow, sq8_stats_np
+
+    path = os.path.join(CACHE, f"sq8codes_{SQ8_ROWS}.parquet")
+    stats = os.path.join(CACHE, f"sq8stats_{SQ8_ROWS}.npz")
+    if not (os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(stats)):
+        e = embeddings_df(spark, SQ8_ROWS, partitions=max(CPUS * 2, 16))
+        mins, spans = sq8_stats_np(e)
+        sq8_encode_arrow(e, mins, spans).write.mode("overwrite").parquet(path)
+        np.savez(stats, mins=mins, spans=spans)
+    z = np.load(stats)
+    probes = synth_embeddings(np.arange(8), 64).astype(np.float64)
+    return path, z["mins"], z["spans"], probes
+
+
 def run_pipeline(spark, images):
     """The flagship lookup: extract -> cell encode -> broadcast cover probe
     (resolve + kNN one pass) -> tzid broadcast join -> per-zone rollup."""
@@ -229,20 +253,36 @@ def headline_queries(spark, images):
 
     from tzspark.engine import lookup_tile_onepass
 
-    # distance self-join over the full image point set (geo near-dup): cell
-    # blocking at res 10 keeps candidates ~points/cell x 4 cells, never N^2
+    # distance self-join over the full image point set (geo near-dup,
+    # "same spot" = within ~1.1 km). 80% of the points sit in 0.5-degree
+    # hot blobs, so the radius/res pair governs the candidate volume:
+    # r=0.05/res10 produced ~10^8 true pairs (196 s — the output itself,
+    # not the join, was the cost); r=0.01/res12 keeps the same operator and
+    # skew regime at ~25x fewer candidates
     pts = spark.read.parquet(ensure_points(spark, images))
 
     def _proximity():
         from tzspark.covertable import proximity_self_join
 
         return proximity_self_join(
-            pts, "image_id", radius=0.05, res=10
+            pts, "image_id", radius=0.01, res=12
         ).groupBy().agg(
             F.count("*").alias("n_pairs"), F.sum("dist2").alias("s")
         )
 
+    # SQ8 vector search over 1M synthesized embeddings: packed-binary codes
+    # (4x smaller than float32 — the storage path for 10^12-vector corpora)
+    # scanned once, per-batch dequant + matmul, partition-local top-k
+    codes_path, sq_mins, sq_spans, sq_probes = ensure_sq8(spark)
+    codes = spark.read.parquet(codes_path)
+
+    def _sq8_search():
+        from tzspark.queries_text import sq8_topk_arrow
+
+        return sq8_topk_arrow(codes, sq_mins, sq_spans, sq_probes, k=10)
+
     return {
+        "sq8_search_1m": _sq8_search,
         "proximity_pairs": _proximity,
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
@@ -286,7 +326,17 @@ def bench_main():
     for name, thunk in qs.items():
         materialize(thunk())
 
+    # Calm-wait: the box's stall regime (BASELINE.md round 4) comes and goes
+    # on minute scales; an artifact taken at 900 us/page measures the host,
+    # not the engine (observed: identical code 3-16x slower). Wait for a
+    # calm window, bounded so the driver never hangs; the recorded probe
+    # values let any reader see whether the wait succeeded.
+    calm_waits = 0
     fault_us_before = fault_probe()
+    while fault_us_before > 40.0 and calm_waits < 10:
+        time.sleep(30)
+        calm_waits += 1
+        fault_us_before = fault_probe()
     timings = {}
     for name, thunk in qs.items():
         # min-of-reps: the box's stall noise is strictly additive and
@@ -323,6 +373,7 @@ def bench_main():
                 # sampled before and after the timed loop; ~1 us = calm box,
                 # 50-600 us = the documented stall regime (BASELINE.md r4)
                 "fault_us_per_page": [fault_us_before, fault_probe()],
+                "calm_waits": calm_waits,
             }
         )
     )

@@ -190,3 +190,34 @@ def images_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield synth_images_pdf(pdf["event_id"].to_numpy())
 
     return ev.mapInPandas(_gen, IMAGES_SCHEMA)
+
+
+def synth_embeddings(i: np.ndarray, dims: int = 64) -> np.ndarray:
+    """Deterministic float32 embedding block for row indices i: dim j of
+    row r is u01(r*dims + j) mapped to [-1, 1). Vectorized; the same
+    formula serves Spark synthesis and driver-side probe construction."""
+    i = np.asarray(i, dtype=np.int64)
+    flat = (i[:, None] * np.int64(dims) + np.arange(dims, dtype=np.int64)).ravel()
+    return (2.0 * _u01(flat, 7) - 1.0).astype(np.float32).reshape(len(i), dims)
+
+
+def embeddings_df(
+    spark: SparkSession, n_rows: int, dims: int = 64, partitions: int = None
+) -> DataFrame:
+    """Distributed synthesis of an embeddings table (vec_id, embedding:
+    array<float>) — the 10^12-vector shape scaled down; each partition
+    builds only its own index range."""
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            emb = synth_embeddings(ids, dims)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(emb)}
+            )
+
+    return spark.range(0, n_rows, 1, partitions).mapInPandas(
+        _gen, "vec_id long, embedding array<float>"
+    )
