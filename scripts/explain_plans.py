@@ -290,6 +290,29 @@ def main():
             f"sessionize: {n_ex8} Exchanges (expected <= 2: windows share one)"
         )
 
+    # 9. SQ8 asymmetric top-k over packed codes: exactly ONE Python stage
+    # (the mapInArrow local top-k) and exactly ONE Exchange (the k-rows-per-
+    # partition window on probe_idx) — the corpus itself never shuffles
+    import numpy as np
+
+    from tzspark.datasets import embeddings_df, synth_embeddings
+    from tzspark.queries_text import sq8_encode_arrow, sq8_stats_np, sq8_topk_arrow
+
+    e9 = embeddings_df(spark, 2000, partitions=4)
+    mins9, spans9 = sq8_stats_np(e9)
+    codes9 = sq8_encode_arrow(e9, mins9, spans9)
+    probes9 = synth_embeddings(np.arange(4), 64).astype(np.float64)
+    p9 = plan_of(sq8_topk_arrow(codes9, mins9, spans9, probes9, k=5))
+    sections.append(("SQ8 asymmetric top-k (packed codes, local top-k)", p9))
+    # formatted plans print the Arrow stages as bare "MapInArrow"; the synth
+    # generator is MapInPandas and not counted (bench reads codes from parquet)
+    n_py9 = len(re.findall(r"\(\d+\) MapInArrow\b", p9))
+    n_ex9 = len(re.findall(r"\(\d+\) Exchange\b", p9))
+    if n_py9 != 2:  # encode + search
+        failures.append(f"sq8-topk: {n_py9} Python stages (expected 2 inline: encode+search)")
+    if n_ex9 > 1:
+        failures.append(f"sq8-topk: {n_ex9} Exchanges (expected 1: the probe_idx window)")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -313,6 +336,8 @@ def main():
             "(user_id) feeding the last-value window\n"
             "- sessionization: both gap windows share one user_id Exchange "
             "(<= 2 Exchanges incl. the final rollup)\n"
+            "- SQ8 top-k: one Exchange total (k rows/partition into the "
+            "probe_idx window); the packed-code corpus never shuffles\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

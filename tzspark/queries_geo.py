@@ -46,10 +46,12 @@ FROM nation
 """
 
 
-def pts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pts_df(spark: SparkSession, sf_dir: str, with_user: bool = False) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    extra = ["ts", "user_id"] if with_user else []
     return ev.select(
         "event_id",
+        *extra,
         ((F.col("user_id") * 7 % 180) - 90 + F.col("value") / 1e6).alias("lat"),
         ((F.col("event_id") * 13 % 360) - 180).cast("double").alias("lng"),
     )
@@ -793,7 +795,190 @@ FROM pts p LEFT JOIN asg a USING (event_id)
 """
 
 
+def q58_user_displacement(spark, sf_dir):
+    """Per-user trajectory summary: order each user's events by (ts,
+    event_id), step distance = Euclidean between consecutive points, roll
+    up total/max displacement and step count. Pure window + agg — one
+    Exchange on user_id feeds LAG, the rollup reuses the same partitioning
+    (geo analytics flavor: 'how far did this device move today')."""
+    from pyspark.sql import Window as W
+
+    p = pts_df(spark, sf_dir, with_user=True)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = p.select(
+        "user_id",
+        (F.col("lat") - F.lag("lat").over(w)).alias("dlat"),
+        (F.col("lng") - F.lag("lng").over(w)).alias("dlng"),
+    ).withColumn(
+        "step",
+        F.sqrt(F.col("dlat") * F.col("dlat") + F.col("dlng") * F.col("dlng")),
+    )
+    return d.groupBy("user_id").agg(
+        F.count("step").cast("int").alias("n_steps"),
+        F.round(F.coalesce(F.sum("step"), F.lit(0.0)), 6).alias("total_dist"),
+        F.round(F.coalesce(F.max("step"), F.lit(0.0)), 6).alias("max_step"),
+    )
+
+
+Q58_SQL = f"""
+WITH pts AS (
+SELECT event_id, ts, user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+st AS (
+  SELECT user_id,
+         lat - LAG(lat) OVER w AS dlat,
+         lng - LAG(lng) OVER w AS dlng
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+stepped AS (
+  SELECT user_id, SQRT(dlat * dlat + dlng * dlng) AS step FROM st
+)
+SELECT user_id,
+       CAST(COUNT(step) AS INTEGER) AS n_steps,
+       ROUND(COALESCE(SUM(step), 0.0), 6) AS total_dist,
+       ROUND(COALESCE(MAX(step), 0.0), 6) AS max_step
+FROM stepped
+GROUP BY user_id
+"""
+
+
+_HLL_P = 4  # 2^p registers; demo-sized so sf0.01 tiles exercise BOTH the
+# raw-HLL and linear-counting branches. Scale deployments use p=12-14: the
+# register table is (tiles x 2^p) rows of two ints regardless of input size,
+# and the max-rank agg is map-side combinable, so the shuffle carries only
+# per-(tile,bucket) partials — the sketch's whole point at 100 TB.
+_HLL_M = 1 << _HLL_P
+
+
+def q59_hll_tile_users(spark, sf_dir):
+    """Per-tile approximate distinct users via an own HyperLogLog sketch,
+    pure relational (zero UDFs): md5(user_id) supplies 64 deterministic
+    hash bits in both engines; bucket = top p bits, rank = leading-zero
+    count of the remaining 56 bits (exact via length(bin(w)));
+    registers = groupBy(tile, bucket).max(rank); the harmonic-mean
+    denominator is summed as EXACT decimal(38,0) integers (every term is
+    2^(64-rank)) so cross-engine float summation order cannot perturb the
+    estimate; the only float ops are one division and (on the small-range
+    branch) one ln, both bit-identical given exact integer inputs.
+    Exact countDistinct rides along as the accuracy comparator."""
+    p = pts_df(spark, sf_dir, with_user=True)
+    base = p.select(
+        cell_id_col(F.col("lat"), F.col("lng"), 2).alias("cell_id"),
+        "user_id",
+        F.md5(F.col("user_id").cast("string").cast("binary")).alias("h"),
+    )
+    hashed = base.select(
+        "cell_id",
+        "user_id",
+        F.conv(F.substring("h", 1, 1), 16, 10).cast("int").alias("bucket"),
+        F.conv(F.substring("h", 2, 14), 16, 10).cast("bigint").alias("w"),
+    ).withColumn(
+        "rank",
+        F.when(F.col("w") == 0, F.lit(57)).otherwise(
+            F.lit(57) - F.length(F.bin(F.col("w")))
+        ),
+    )
+    reg = hashed.groupBy("cell_id", "bucket").agg(F.max("rank").alias("r"))
+    # 2^64 exceeds py4j's long transport -> ship as string, cast to decimal
+    two64 = F.lit("18446744073709551616").cast("decimal(38,0)")
+    hll = reg.groupBy("cell_id").agg(
+        F.count("*").cast("int").alias("used"),
+        F.sum(F.pow(F.lit(2.0), F.lit(64) - F.col("r")).cast("decimal(38,0)")).alias("s_obs"),
+    )
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = (F.col("s_obs") + (F.lit(_HLL_M) - F.col("used")).cast("decimal(38,0)") * two64).cast("double")
+    raw = F.lit(alpha * m * m * 2.0**64) / num
+    v = F.lit(_HLL_M) - F.col("used")
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)).otherwise(raw)
+    hll = hll.select("cell_id", "used", F.round(est, 4).alias("hll_est"))
+    exact = base.groupBy("cell_id").agg(
+        F.countDistinct("user_id").cast("int").alias("n_exact")
+    )
+    return hll.join(exact, "cell_id").select("cell_id", "used", "hll_est", "n_exact")
+
+
+def _q59_sql() -> str:
+    hexd = "0123456789abcdef"
+    # CAST each place value to BIGINT: bare literals fold as DECIMAL(18)
+    # and the term sum overflows that type (max |w| < 2^56 fits BIGINT)
+    w_terms = " + ".join(
+        f"(strpos('{hexd}', substr(h, {1 + i}, 1)) - 1)"
+        f" * CAST({16 ** (14 - i)} AS BIGINT)"
+        for i in range(1, 15)
+    )
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # the SAME Python-folded double the Spark side ships via F.lit — and
+    # CAST from string, because DuckDB types bare decimal literals as
+    # DECIMAL(p,s) whose multiplication overflows at p=18
+    scale = alpha * m * m * 2.0**64
+    return f"""
+WITH pts AS (
+SELECT user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+base AS (
+  SELECT {cell_id_sql('lat', 'lng', 2)} AS cell_id, user_id,
+         md5(CAST(user_id AS VARCHAR)) AS h
+  FROM pts
+),
+hashed AS (
+  SELECT cell_id, user_id,
+         strpos('{hexd}', substr(h, 1, 1)) - 1 AS bucket,
+         CAST({w_terms} AS BIGINT) AS w
+  FROM base
+),
+ranked AS (
+  SELECT cell_id, bucket,
+         CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END AS rank
+  FROM hashed
+),
+reg AS (
+  SELECT cell_id, bucket, MAX(rank) AS r FROM ranked GROUP BY 1, 2
+),
+hll AS (
+  SELECT cell_id, CAST(COUNT(*) AS INTEGER) AS used,
+         SUM(CAST(POWER(2, 64 - r) AS HUGEINT)) AS s_obs
+  FROM reg GROUP BY 1
+),
+est AS (
+  SELECT cell_id, used,
+         CAST('{scale!r}' AS DOUBLE)
+           / CAST(s_obs + CAST({_HLL_M} - used AS HUGEINT)
+                          * CAST('18446744073709551616' AS HUGEINT) AS DOUBLE)
+           AS raw
+  FROM hll
+),
+fin AS (
+  SELECT cell_id, used,
+         ROUND(CASE WHEN raw <= {2.5 * m!r} AND used < {_HLL_M}
+                    THEN CAST({m!r} AS DOUBLE)
+                         * ln(CAST({m!r} AS DOUBLE) / ({_HLL_M} - used))
+                    ELSE raw END, 4) AS hll_est
+  FROM est
+),
+exact AS (
+  SELECT cell_id, CAST(COUNT(DISTINCT user_id) AS INTEGER) AS n_exact
+  FROM base GROUP BY 1
+)
+SELECT f.cell_id, f.used, f.hll_est, e.n_exact
+FROM fin f JOIN exact e USING (cell_id)
+"""
+
+
+Q59_SQL = _q59_sql()
+
+
 GEO_QUERIES = {
+    "q59_hll_tile_users": (q59_hll_tile_users, Q59_SQL),
+    "q58_user_displacement": (q58_user_displacement, Q58_SQL),
     "q57_geo_dbscan": (q57_geo_dbscan, Q57_SQL),
     "q54_proximity_pairs": (q54_proximity_pairs, Q54_SQL),
     "q53_radius_join": (q53_radius_join, Q53_SQL),

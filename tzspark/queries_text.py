@@ -1622,7 +1622,167 @@ SELECT probe_id, cand_id, qcosine, CAST(rnk AS INTEGER) AS rnk FROM rk WHERE rnk
 """
 
 
+# --- product quantization (IVF-PQ's compression half) -----------------------
+#
+# PQ is the standard 100 TB ANN memory layout (embeddings -> M bytes/vector):
+# split each vector into M subvectors, k-means each subspace to K centroids,
+# store only the M centroid ids; search decompresses NOTHING — the probe
+# builds an (M x K) distance table once and every candidate's approximate
+# distance is M table lookups (ADC, asymmetric distance computation).
+# Training here is DETERMINISTIC so both engines compute identical codebooks:
+# init = subvectors of the first K vectors, exactly 2 Lloyd iterations,
+# ties broken on min centroid id, every mean/distance rounded to 6 (the same
+# stabilization _d2 uses). Everything is long-form relational — the assign
+# step is a (m,pos) equi-join + two-level agg, so at scale it shuffles
+# per-(vec,m,k) partials only and the codebook (M*K*d doubles) broadcasts.
+
+_PQ_M = 8  # subspaces
+_PQ_D = 8  # dims per subspace (M * D = 64 = embedding dim)
+_PQ_K = 16  # centroids per subspace
+_PQ_NPROBES = 5  # probe vectors = last 5 vec_ids
+_PQ_TOPK = 3
+
+
+def _pq_assign(lf: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per (vec, m): (m,pos) equi-join, d2 partial sum,
+    argmin via min(struct(d2, k)) — no window, map-side combinable."""
+    d = (
+        lf.join(cent, ["m", "pos"])
+        .withColumn("sq", (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+        .groupBy("vec_id", "m", "k")
+        .agg(F.round(F.sum("sq"), 6).alias("d2"))
+    )
+    best = d.groupBy("vec_id", "m").agg(F.min(F.struct("d2", "k")).alias("b"))
+    return best.select("vec_id", "m", F.col("b.k").alias("k"))
+
+
+def _pq_update(lf: DataFrame, asg: DataFrame, prev: DataFrame) -> DataFrame:
+    """Lloyd update: mean of member subvectors per (m,k,pos), rounded to 6;
+    a centroid that lost every member keeps its previous position."""
+    means = (
+        lf.join(asg, ["vec_id", "m"])
+        .groupBy("m", "k", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c_new"))
+    )
+    return prev.join(means, ["m", "k", "pos"], "left").select(
+        "m", "k", "pos", F.coalesce("c_new", "c").alias("c")
+    )
+
+
+def q60_pq_adc_search(spark, sf_dir):
+    """End-to-end product quantization: deterministic 2-iteration Lloyd
+    training per subspace, M-byte encoding of the corpus, and ADC top-k
+    search for the probe vectors (distance table join — candidates are
+    never decompressed). Composes with q32/q33's IVF coarse quantizer into
+    IVF-PQ, the standard billion-vector ANN index."""
+    e = _embs(spark, sf_dir)
+    bound = e.agg((F.max("vec_id") - (_PQ_NPROBES - 1)).alias("pb"))
+    lf_all = (
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val"),
+        )
+        .select(
+            "vec_id",
+            (F.col("i") / _PQ_D).cast("int").alias("m"),
+            (F.col("i") % _PQ_D).alias("pos"),
+            "val",
+        )
+        .join(F.broadcast(bound), F.lit(True))
+    )
+    lf = lf_all.where(F.col("vec_id") < F.col("pb")).drop("pb")
+    lf_probe = lf_all.where(F.col("vec_id") >= F.col("pb")).drop("pb")
+
+    c0 = lf.where(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("k"), "pos", F.col("val").alias("c")
+    )
+    c1 = _pq_update(lf, _pq_assign(lf, c0), c0)
+    c2 = _pq_update(lf, _pq_assign(lf, c1), c1)
+    codes = _pq_assign(lf, c2)
+
+    # ADC: per-probe (m, k) distance table over the trained codebook, then
+    # each candidate's distance = sum of its M code lookups
+    dt = (
+        lf_probe.withColumnRenamed("vec_id", "probe_id")
+        .join(c2, ["m", "pos"])
+        .withColumn("sq", (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))
+        .groupBy("probe_id", "m", "k")
+        .agg(F.round(F.sum("sq"), 6).alias("dsub"))
+    )
+    adc = (
+        codes.join(dt, ["m", "k"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("dsub"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _PQ_TOPK)
+        .select("probe_id", F.col("vec_id").alias("cand_id"), "adc_d2",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def _pq_sql() -> str:
+    d, m, k, npr, topk = _PQ_D, _PQ_M, _PQ_K, _PQ_NPROBES, _PQ_TOPK
+    assign = (
+        "SELECT vec_id, m, k FROM ("
+        "  SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn"
+        "  FROM (SELECT l.vec_id, l.m, c.k, ROUND(SUM((l.val - c.c) * (l.val - c.c)), 6) AS d2"
+        "        FROM lf l JOIN {cent} c ON l.m = c.m AND l.pos = c.pos"
+        "        GROUP BY 1, 2, 3)"
+        ") WHERE rn = 1"
+    )
+    update = (
+        "SELECT p.m, p.k, p.pos, COALESCE(u.c_new, p.c) AS c"
+        " FROM {prev} p LEFT JOIN ("
+        "   SELECT a.m, a.k, l.pos, ROUND(AVG(l.val), 6) AS c_new"
+        "   FROM lf l JOIN {asg} a ON l.vec_id = a.vec_id AND l.m = a.m"
+        "   GROUP BY 1, 2, 3"
+        " ) u ON p.m = u.m AND p.k = u.k AND p.pos = u.pos"
+    )
+    return f"""
+WITH bound AS (SELECT MAX(vec_id) - {npr - 1} AS pb FROM embeddings),
+lf_all AS (
+  SELECT e.vec_id,
+         CAST(CAST(r.range AS INTEGER) // {d} AS INTEGER) AS m,
+         CAST(r.range AS INTEGER) % {d} AS pos,
+         CAST(e.embedding[CAST(r.range AS INTEGER) + 1] AS DOUBLE) AS val
+  FROM embeddings e CROSS JOIN range({m * d}) r
+),
+lf AS (SELECT * FROM lf_all, bound WHERE vec_id < pb),
+lf_probe AS (SELECT * FROM lf_all, bound WHERE vec_id >= pb),
+c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS k, pos, val AS c FROM lf WHERE vec_id < {k}),
+a1 AS ({assign.format(cent='c0')}),
+c1 AS ({update.format(prev='c0', asg='a1')}),
+a2 AS ({assign.format(cent='c1')}),
+c2 AS ({update.format(prev='c1', asg='a2')}),
+codes AS ({assign.format(cent='c2')}),
+dt AS (
+  SELECT p.vec_id AS probe_id, p.m, c.k,
+         ROUND(SUM((p.val - c.c) * (p.val - c.c)), 6) AS dsub
+  FROM lf_probe p JOIN c2 c ON p.m = c.m AND p.pos = c.pos
+  GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT t.probe_id, cd.vec_id, ROUND(SUM(t.dsub), 6) AS adc_d2
+  FROM codes cd JOIN dt t ON cd.m = t.m AND cd.k = t.k
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_d2, vec_id) AS rnk
+  FROM adc
+)
+SELECT probe_id, vec_id AS cand_id, adc_d2, CAST(rnk AS INTEGER) AS rnk
+FROM rk WHERE rnk <= {topk}
+"""
+
+
+Q60_SQL = _pq_sql()
+
+
 TEXT_QUERIES = {
+    "q60_pq_adc_search": (q60_pq_adc_search, Q60_SQL),
     "q55_sq8_encode": (q55_sq8_encode, Q55_SQL),
     "q56_sq8_search": (q56_sq8_search, Q56_SQL),
     "q50_chunk_documents": (q50_chunk_documents, Q50_SQL),
