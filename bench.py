@@ -128,6 +128,27 @@ def ensure_sq8(spark):
     return path, z["mins"], z["spans"], probes
 
 
+def ensure_pq(spark):
+    """Train a 256-centroid PQ codebook on the first 2048 vectors (the
+    standard sampled-train shape), encode SQ8_ROWS x 64 embeddings to
+    packed 8-byte codes, cache codes parquet + codebook. Returns
+    (codes_path, cent[8 x 256 x 8], probes[8 x 64 float64])."""
+    import numpy as np
+
+    from tzspark.datasets import embeddings_df, synth_embeddings
+    from tzspark.queries_text import pq_encode_arrow, pq_train_np
+
+    path = os.path.join(CACHE, f"pqcodes_{SQ8_ROWS}.parquet")
+    cb = os.path.join(CACHE, f"pqcent_{SQ8_ROWS}.npy")
+    if not (os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(cb)):
+        e = embeddings_df(spark, SQ8_ROWS, partitions=max(CPUS * 2, 16))
+        cent = pq_train_np(e, sample_n=2048, m=8, n_cent=256)
+        pq_encode_arrow(e, cent).write.mode("overwrite").parquet(path)
+        np.save(cb, cent)
+    probes = synth_embeddings(np.arange(8), 64).astype(np.float64)
+    return path, np.load(cb), probes
+
+
 def run_pipeline(spark, images):
     """The flagship lookup: extract -> cell encode -> broadcast cover probe
     (resolve + kNN one pass) -> tzid broadcast join -> per-zone rollup."""
@@ -281,8 +302,17 @@ def headline_queries(spark, images):
 
         return sq8_topk_arrow(codes, sq_mins, sq_spans, sq_probes, k=10)
 
+    pq_path, pq_cent, pq_probes = ensure_pq(spark)
+    pq_codes = spark.read.parquet(pq_path)
+
+    def _pq_search():
+        from tzspark.queries_text import pq_adc_topk_arrow
+
+        return pq_adc_topk_arrow(pq_codes, pq_cent, pq_probes, k=10)
+
     return {
         "sq8_search_1m": _sq8_search,
+        "pq_search_1m": _pq_search,
         "proximity_pairs": _proximity,
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
@@ -338,23 +368,43 @@ def bench_main():
         calm_waits += 1
         fault_us_before = fault_probe()
     timings = {}
+    fault_by_query = {}
     for name, thunk in qs.items():
         # min-of-reps: the box's stall noise is strictly additive and
         # one-sided, so min is the consistent estimator (same policy as the
         # --scaling runs; see BASELINE.md round 4). Cheap queries get 5
         # reps; a per-query time budget keeps the expensive world-scale
-        # ones at 3 so the whole bench stays bounded.
+        # ones at 3 so the whole bench stays bounded — EXCEPT while reps
+        # are still settling: a cold codepath pays Python-worker spawn, C2
+        # JIT, and first-touch faults over its first several executions
+        # (measured 36 -> 11.6 -> 6.9 s on the world join in an otherwise
+        # calm session), and a long-running cluster job lives at the
+        # settled rate, so keep repping while the best improves >= 20%,
+        # bounded at 6 reps / 75 s per query so the whole bench stays
+        # inside the driver's budget.
         best, spent, rep = float("inf"), 0.0, 0
-        while rep < 3 or (rep < 5 and spent < 30.0):
+        while True:
             t0 = time.time()
             materialize(thunk())
             dt = time.time() - t0
+            improving = dt < 0.8 * best
             best, spent, rep = min(best, dt), spent + dt, rep + 1
             # join-path thunks persist narrow frames scoped to THIS rep's
             # DataFrames — they are never reused across reps, so drop them
             # instead of letting storage accumulate over the session
             spark.catalog.clearCache()
+            if rep < 3 or (rep < 5 and spent < 30.0):
+                continue
+            if rep < 6 and spent < 75.0 and improving:
+                continue
+            break
         timings[name] = round(best, 3)
+        # per-query host-state evidence: the global before/after probes
+        # bracket the loop but cannot see a stall window that lands MID-loop
+        # (observed: one query 4x slow between two calm global probes);
+        # a small probe right after each query pins its numbers to the
+        # host state they were taken under
+        fault_by_query[name] = round(fault_probe(8), 2)
 
     total = round(sum(timings.values()), 3)
     thr = round(N_ROWS / timings["pipeline_lookup"], 1)
@@ -373,6 +423,7 @@ def bench_main():
                 # sampled before and after the timed loop; ~1 us = calm box,
                 # 50-600 us = the documented stall regime (BASELINE.md r4)
                 "fault_us_per_page": [fault_us_before, fault_probe()],
+                "fault_us_by_query": fault_by_query,
                 "calm_waits": calm_waits,
             }
         )

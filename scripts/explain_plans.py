@@ -313,6 +313,21 @@ def main():
     if n_ex9 > 1:
         failures.append(f"sq8-topk: {n_ex9} Exchanges (expected 1: the probe_idx window)")
 
+    # 10. PQ ADC top-k over packed codes: same shape as the SQ8 path —
+    # encode + search Arrow stages, one Exchange for the global top-k
+    from tzspark.queries_text import pq_adc_topk_arrow, pq_encode_arrow, pq_train_np
+
+    cent10 = pq_train_np(e9, sample_n=64)
+    codes10 = pq_encode_arrow(e9, cent10)
+    p10 = plan_of(pq_adc_topk_arrow(codes10, cent10, probes9, k=5))
+    sections.append(("PQ ADC top-k (packed codes, local top-k)", p10))
+    n_py10 = len(re.findall(r"\(\d+\) MapInArrow\b", p10))
+    n_ex10 = len(re.findall(r"\(\d+\) Exchange\b", p10))
+    if n_py10 != 2:  # encode + search
+        failures.append(f"pq-topk: {n_py10} Python stages (expected 2 inline: encode+search)")
+    if n_ex10 > 1:
+        failures.append(f"pq-topk: {n_ex10} Exchanges (expected 1: the probe_idx window)")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -338,6 +353,8 @@ def main():
             "(<= 2 Exchanges incl. the final rollup)\n"
             "- SQ8 top-k: one Exchange total (k rows/partition into the "
             "probe_idx window); the packed-code corpus never shuffles\n"
+            "- PQ ADC top-k: same shape — 2 Arrow stages (encode+search), "
+            "one Exchange; candidates are never decompressed\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

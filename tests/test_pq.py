@@ -78,6 +78,53 @@ def test_pq_adc_matches_numpy_reference(spark):
     assert got == sorted(want, key=lambda t: (t[0], t[3]))
 
 
+def test_pq_arrow_scale_path_matches_reference(spark):
+    """The packed-codes mapInArrow path (pq_train_np -> pq_encode_arrow ->
+    pq_adc_topk_arrow) must reproduce the reference pipeline: identical
+    codebook, identical M-byte codes, identical top-k ids (ADC values agree
+    to the reference's round-6 granularity)."""
+    from pyspark.sql import functions as F
+
+    from tzspark.queries_text import (
+        pq_adc_topk_arrow,
+        pq_encode_arrow,
+        pq_train_np,
+    )
+
+    vec_id, emb = _emb_matrix()
+    want, (train, train_ids, probes, probe_ids, codes_ref, cent_ref) = _np_pq(
+        vec_id, emb
+    )
+    pb = int(vec_id.max()) - (_PQ_NPROBES - 1)
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = e.where(F.col("vec_id") < pb)
+
+    cent = pq_train_np(corpus, sample_n=pb)
+    assert cent.shape == cent_ref.shape
+    assert np.array_equal(cent, cent_ref)
+
+    codes_df = pq_encode_arrow(corpus, cent)
+    got_codes = {
+        r["vec_id"]: np.frombuffer(r["codes"], np.uint8)
+        for r in codes_df.collect()
+    }
+    for i, v in enumerate(train_ids):
+        assert np.array_equal(got_codes[int(v)], codes_ref[i].astype(np.uint8))
+
+    res = pq_adc_topk_arrow(
+        codes_df, cent, probes.reshape(len(probe_ids), -1), k=_PQ_TOPK
+    ).collect()
+    assert len(res) == _PQ_NPROBES * _PQ_TOPK
+    by = {
+        (int(probe_ids[r["probe_idx"]]), r["rnk"]): (r["cand_id"], r["adc_d2"])
+        for r in res
+    }
+    for pid, cid, adc, rnk in want:
+        got_cid, got_adc = by[(pid, rnk)]
+        assert got_cid == cid
+        assert abs(got_adc - adc) < 1e-4  # reference rounds each dsub to 6
+
+
 def test_pq_adc_candidates_close_to_exact(spark):
     """Quality: this corpus is near-uniform (the hardest case for PQ — tiny
     gaps between neighbours vs 32x compression), so exact-top-1 agreement

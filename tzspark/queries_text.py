@@ -1669,12 +1669,10 @@ def _pq_update(lf: DataFrame, asg: DataFrame, prev: DataFrame) -> DataFrame:
     )
 
 
-def q60_pq_adc_search(spark, sf_dir):
-    """End-to-end product quantization: deterministic 2-iteration Lloyd
-    training per subspace, M-byte encoding of the corpus, and ADC top-k
-    search for the probe vectors (distance table join — candidates are
-    never decompressed). Composes with q32/q33's IVF coarse quantizer into
-    IVF-PQ, the standard billion-vector ANN index."""
+def _pq_frames(spark, sf_dir):
+    """Shared PQ pipeline pieces: trained codebook c2, corpus codes, and
+    the per-probe (m, k) distance table dt (plus the bound frame that
+    splits corpus from probes)."""
     e = _embs(spark, sf_dir)
     bound = e.agg((F.max("vec_id") - (_PQ_NPROBES - 1)).alias("pb"))
     lf_all = (
@@ -1700,8 +1698,8 @@ def q60_pq_adc_search(spark, sf_dir):
     c2 = _pq_update(lf, _pq_assign(lf, c1), c1)
     codes = _pq_assign(lf, c2)
 
-    # ADC: per-probe (m, k) distance table over the trained codebook, then
-    # each candidate's distance = sum of its M code lookups
+    # per-probe (m, k) distance table over the trained codebook: each
+    # candidate's distance is then M table lookups
     dt = (
         lf_probe.withColumnRenamed("vec_id", "probe_id")
         .join(c2, ["m", "pos"])
@@ -1709,11 +1707,10 @@ def q60_pq_adc_search(spark, sf_dir):
         .groupBy("probe_id", "m", "k")
         .agg(F.round(F.sum("sq"), 6).alias("dsub"))
     )
-    adc = (
-        codes.join(dt, ["m", "k"])
-        .groupBy("probe_id", "vec_id")
-        .agg(F.round(F.sum("dsub"), 6).alias("adc_d2"))
-    )
+    return bound, c2, codes, dt
+
+
+def _pq_topk(adc):
     w = Window.partitionBy("probe_id").orderBy("adc_d2", "vec_id")
     return (
         adc.withColumn("rnk", F.row_number().over(w))
@@ -1723,8 +1720,74 @@ def q60_pq_adc_search(spark, sf_dir):
     )
 
 
-def _pq_sql() -> str:
-    d, m, k, npr, topk = _PQ_D, _PQ_M, _PQ_K, _PQ_NPROBES, _PQ_TOPK
+def q60_pq_adc_search(spark, sf_dir):
+    """End-to-end product quantization: deterministic 2-iteration Lloyd
+    training per subspace, M-byte encoding of the corpus, and ADC top-k
+    search for the probe vectors (distance table join — candidates are
+    never decompressed). Composes with q32/q33's IVF coarse quantizer into
+    IVF-PQ (q61), the standard billion-vector ANN index."""
+    _, _, codes, dt = _pq_frames(spark, sf_dir)
+    adc = (
+        codes.join(dt, ["m", "k"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("dsub"), 6).alias("adc_d2"))
+    )
+    return _pq_topk(adc)
+
+
+def q61_ivfpq_search(spark, sf_dir):
+    """IVF-PQ: the composition the billion-vector indexes actually ship —
+    q32's coarse quantizer partitions the corpus into IVF buckets, each
+    probe scans only its nprobe nearest buckets, and within them distances
+    come from q60's PQ codes via the ADC table (candidates never
+    decompressed). The allowed (probe, candidate) pair set is a relational
+    semi-restriction, so the expensive ADC agg runs on nprobe/K of the
+    corpus instead of all of it."""
+    e = _embs(spark, sf_dir)
+    bound, _, codes, dt = _pq_frames(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    corp = (
+        e.join(F.broadcast(bound), F.lit(True))
+        .where((F.col("vec_id") >= _IVF_K) & (F.col("vec_id") < F.col("pb")))
+        .select("vec_id", "embedding")
+    )
+    xa = corp.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _d2(F.col("embedding"), F.col("ce"))
+    )
+    buckets = (
+        xa.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "centroid_id")).alias("b"))
+        .select("vec_id", F.col("b.centroid_id").alias("centroid_id"))
+    )
+    probes = (
+        e.join(F.broadcast(bound), F.lit(True))
+        .where(F.col("vec_id") >= F.col("pb"))
+        .select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"))
+    )
+    xp = probes.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _d2(F.col("pe"), F.col("ce"))
+    )
+    wp = Window.partitionBy("probe_id").orderBy("d2", "centroid_id")
+    probe_buckets = (
+        xp.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= _IVF_NPROBE)
+        .select("probe_id", "centroid_id")
+    )
+    allowed = probe_buckets.join(buckets, "centroid_id").select("probe_id", "vec_id")
+    adc = (
+        allowed.join(codes, "vec_id")
+        .join(dt, ["probe_id", "m", "k"])
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("dsub"), 6).alias("adc_d2"))
+    )
+    return _pq_topk(adc)
+
+
+def _pq_cte_block() -> str:
+    """The shared PQ CTE pyramid (bound .. dt), composed into Q60 and Q61."""
+    d, m, k, npr = _PQ_D, _PQ_M, _PQ_K, _PQ_NPROBES
     assign = (
         "SELECT vec_id, m, k FROM ("
         "  SELECT vec_id, m, k, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn"
@@ -1741,8 +1804,7 @@ def _pq_sql() -> str:
         "   GROUP BY 1, 2, 3"
         " ) u ON p.m = u.m AND p.k = u.k AND p.pos = u.pos"
     )
-    return f"""
-WITH bound AS (SELECT MAX(vec_id) - {npr - 1} AS pb FROM embeddings),
+    return f"""bound AS (SELECT MAX(vec_id) - {npr - 1} AS pb FROM embeddings),
 lf_all AS (
   SELECT e.vec_id,
          CAST(CAST(r.range AS INTEGER) // {d} AS INTEGER) AS m,
@@ -1763,25 +1825,203 @@ dt AS (
          ROUND(SUM((p.val - c.c) * (p.val - c.c)), 6) AS dsub
   FROM lf_probe p JOIN c2 c ON p.m = c.m AND p.pos = c.pos
   GROUP BY 1, 2, 3
-),
+)"""
+
+
+_PQ_TOPK_SQL = f"""rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_d2, vec_id) AS rnk
+  FROM adc
+)
+SELECT probe_id, vec_id AS cand_id, adc_d2, CAST(rnk AS INTEGER) AS rnk
+FROM rk WHERE rnk <= {_PQ_TOPK}"""
+
+
+Q60_SQL = f"""
+WITH {_pq_cte_block()},
 adc AS (
   SELECT t.probe_id, cd.vec_id, ROUND(SUM(t.dsub), 6) AS adc_d2
   FROM codes cd JOIN dt t ON cd.m = t.m AND cd.k = t.k
   GROUP BY 1, 2
 ),
-rk AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_d2, vec_id) AS rnk
-  FROM adc
-)
-SELECT probe_id, vec_id AS cand_id, adc_d2, CAST(rnk AS INTEGER) AS rnk
-FROM rk WHERE rnk <= {topk}
+{_PQ_TOPK_SQL}
 """
 
 
-Q60_SQL = _pq_sql()
+Q61_SQL = f"""
+WITH {_pq_cte_block()},
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS ce FROM ev WHERE vec_id < {_IVF_K}),
+corp AS (SELECT vec_id, v FROM ev, bound WHERE vec_id >= {_IVF_K} AND vec_id < pb),
+bd AS (
+  SELECT r.vec_id, c.centroid_id,
+         ROUND(list_dot_product(r.v, r.v) - 2 * list_dot_product(r.v, c.ce)
+               + list_dot_product(c.ce, c.ce), 6) AS d2
+  FROM corp r CROSS JOIN cents c
+),
+bkt AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn FROM bd
+  ) WHERE rn = 1
+),
+pv AS (SELECT vec_id AS probe_id, v AS pe FROM ev, bound WHERE vec_id >= pb),
+pd AS (
+  SELECT p.probe_id, c.centroid_id,
+         ROUND(list_dot_product(p.pe, p.pe) - 2 * list_dot_product(p.pe, c.ce)
+               + list_dot_product(c.ce, c.ce), 6) AS d2
+  FROM pv p CROSS JOIN cents c
+),
+pbkt AS (
+  SELECT probe_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d2, centroid_id) AS rn FROM pd
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+allowed AS (SELECT p.probe_id, b.vec_id FROM pbkt p JOIN bkt b USING (centroid_id)),
+adc AS (
+  SELECT t.probe_id, a.vec_id, ROUND(SUM(t.dsub), 6) AS adc_d2
+  FROM allowed a
+  JOIN codes cd ON a.vec_id = cd.vec_id
+  JOIN dt t ON t.probe_id = a.probe_id AND t.m = cd.m AND t.k = cd.k
+  GROUP BY 1, 2
+),
+{_PQ_TOPK_SQL}
+"""
+
+
+def pq_train_np(emb_df, sample_n: int, m: int = _PQ_M, n_cent: int = _PQ_K):
+    """Driver-side deterministic PQ training over a bounded sample — the
+    standard scale shape (codebooks train on ~10^3-10^5 sampled vectors,
+    never the corpus; the result is an (M, K, d) float block of a few KB
+    that broadcasts). Same algorithm as the relational q60 trainer: init =
+    subvectors of the first K sample vectors, exactly 2 Lloyd iterations,
+    round-6 stabilized distances/means, min-id ties, lost centroids keep
+    their previous position. Returns float64 (m, n_cent, d)."""
+    import numpy as np
+
+    rows = (
+        emb_df.where(F.col("vec_id") < sample_n)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    emb = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    d = emb.shape[1] // m
+    sub = emb.reshape(-1, m, d)
+    cent = sub[:n_cent].transpose(1, 0, 2).copy()
+    for _ in range(2):
+        codes = _pq_assign_np(sub, cent)
+        for mi in range(m):
+            for ki in range(n_cent):
+                members = sub[codes[:, mi] == ki, mi, :]
+                if len(members):
+                    cent[mi, ki] = np.round(members.mean(0), 6)
+    return cent
+
+
+def _pq_assign_np(sub, cent):
+    """codes (n, m) uint: argmin over round-6 subspace d2 (first index on
+    ties = min centroid id). sub (n, m, d); cent (m, K, d)."""
+    import numpy as np
+
+    n, m, d = sub.shape
+    out = np.empty((n, m), dtype=np.int64)
+    for mi in range(m):  # matmul form per subspace: |x|^2 - 2 x.c + |c|^2
+        x, c = sub[:, mi, :], cent[mi]
+        d2 = (
+            (x * x).sum(1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(1)[None, :]
+        )
+        out[:, mi] = np.argmin(np.round(d2, 6), axis=1)
+    return out
+
+
+def pq_encode_arrow(emb_df, cent):
+    """Scale-path PQ encoder: embeddings -> (vec_id, codes BINARY(M)) —
+    M bytes per vector (32x smaller than the float32 corpus at M=8, D=64).
+    One mapInArrow pass; the codebook rides in as a closure (a real job
+    broadcasts it, same bytes)."""
+    import pyarrow as pa
+
+    m, n_cent, d = cent.shape
+    assert n_cent <= 256, "uint8 code space"
+
+    def enc(it):
+        import numpy as np
+
+        for batch in it:
+            vid = batch.column("vec_id")
+            emb = np.vstack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            codes = _pq_assign_np(emb.reshape(len(emb), m, d), cent).astype(
+                np.uint8
+            )
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array([c.tobytes() for c in codes], type=pa.binary())],
+                names=["vec_id", "codes"],
+            )
+
+    return emb_df.mapInArrow(enc, "vec_id long, codes binary")
+
+
+def pq_adc_topk_arrow(codes_df, cent, probes, k=10):
+    """ADC top-k over packed PQ codes, the 10^12-vector shape: the (P, M,
+    K) distance table is built ONCE from the broadcast codebook, each
+    candidate costs M uint8 table lookups (never decompressed), LOCAL
+    top-k per partition, global top-k as a tiny window — the shuffle
+    carries ~k rows per partition, never the corpus (same plan shape as
+    sq8_topk_arrow, asserted in PLANS.md).
+
+    probes: float64 (P, D); returns DataFrame(probe_idx, cand_id, adc_d2,
+    rnk) with k rows per probe, ties broken by cand_id."""
+    import numpy as np
+    import pyarrow as pa
+
+    m, n_cent, d = cent.shape
+    psub = probes.reshape(len(probes), m, d)
+    dt = ((psub[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(-1)  # (P,M,K)
+    marange = np.arange(m)
+
+    def search(it):
+        best = [[] for _ in range(len(probes))]
+        for batch in it:
+            vid = batch.column("vec_id").to_numpy()
+            codes = np.frombuffer(
+                b"".join(batch.column("codes").to_pylist()), dtype=np.uint8
+            ).reshape(-1, m)
+            for p in range(len(probes)):
+                adc = dt[p, marange[None, :], codes].sum(1)
+                if len(adc) > k:
+                    idx = np.argpartition(adc, k)[:k]
+                else:
+                    idx = np.arange(len(adc))
+                best[p].extend(zip(adc[idx].tolist(), vid[idx].tolist()))
+        out_p, out_id, out_s = [], [], []
+        for p, cand in enumerate(best):
+            cand.sort(key=lambda t: (t[0], t[1]))
+            for s, v in cand[:k]:
+                out_p.append(p)
+                out_id.append(int(v))
+                out_s.append(float(s))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_p, pa.int32()), pa.array(out_id, pa.int64()),
+             pa.array(out_s, pa.float64())],
+            names=["probe_idx", "cand_id", "adc_d2"],
+        )
+
+    local = codes_df.mapInArrow(
+        search, "probe_idx int, cand_id long, adc_d2 double"
+    )
+    w = Window.partitionBy("probe_idx").orderBy("adc_d2", "cand_id")
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("probe_idx", "cand_id", "adc_d2", F.col("rnk").cast("int").alias("rnk"))
+    )
 
 
 TEXT_QUERIES = {
+    "q61_ivfpq_search": (q61_ivfpq_search, Q61_SQL),
     "q60_pq_adc_search": (q60_pq_adc_search, Q60_SQL),
     "q55_sq8_encode": (q55_sq8_encode, Q55_SQL),
     "q56_sq8_search": (q56_sq8_search, Q56_SQL),
