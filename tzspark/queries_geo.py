@@ -976,7 +976,106 @@ FROM fin f JOIN exact e USING (cell_id)
 Q59_SQL = _q59_sql()
 
 
+_PR_N = 150  # user graph nodes (events user_id domain)
+_PR_D = 0.85
+_PR_ITERS = 5
+# Python-fold every float constant ONCE and inject the identical double into
+# both engines (DuckDB types bare decimal literals as DECIMAL, q59 lesson)
+_PR_BASE = (1.0 - _PR_D) / _PR_N
+_PR_INVN = 1.0 / _PR_N
+
+
+def q62_pagerank(spark, sf_dir):
+    """Damped PageRank, 5 unrolled iterations, over the deterministic user
+    graph src=user_id -> dst=(event_id*13 + user_id*7) % 150 (distinct,
+    no self-loops). The iterative-algorithm representative: each round is
+    one edge-join + per-dst sum + dangling-mass scalar, exactly the CC
+    pattern (min_label_cc) with sums instead of mins — at scale each round
+    is checkpointed the same way. Cross-engine determinism: per-iteration
+    ranks round to 12 decimals (sum order ulps are ~1e-19 here), all float
+    constants Python-folded once and injected into both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            ((F.col("event_id") * 13 + F.col("user_id") * 7) % _PR_N).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = ev.select(F.col("user_id")).distinct()
+    r = nodes.withColumn("rank", F.lit(_PR_INVN))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("user_id", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .withColumnRenamed("dst", "user_id")
+        )
+        dangling = (
+            r.join(outdeg.withColumnRenamed("src", "user_id"), "user_id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        r = (
+            nodes.join(contrib, "user_id", "left")
+            .join(F.broadcast(dangling), F.lit(True))
+            .select(
+                "user_id",
+                F.round(
+                    F.lit(_PR_BASE)
+                    + F.lit(_PR_D)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                       + F.col("dm") * F.lit(_PR_INVN)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return r.select("user_id", F.round("rank", 9).alias("pagerank"))
+
+
+def _q62_sql() -> str:
+    base, d, invn = _PR_BASE, _PR_D, _PR_INVN
+    parts = [
+        f"""edges AS (
+  SELECT DISTINCT user_id AS src, (event_id * 13 + user_id * 7) % {_PR_N} AS dst
+  FROM events WHERE user_id != (event_id * 13 + user_id * 7) % {_PR_N}
+),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT DISTINCT user_id FROM events),
+r0 AS (SELECT user_id, CAST('{invn!r}' AS DOUBLE) AS rank FROM nodes)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(f"""c{i} AS (
+  SELECT e.dst AS user_id, SUM(r.rank / o.deg) AS contrib
+  FROM edges e JOIN r{i - 1} r ON e.src = r.user_id JOIN outdeg o ON e.src = o.src
+  GROUP BY 1
+),
+d{i} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+  FROM r{i - 1} r LEFT JOIN outdeg o ON r.user_id = o.src WHERE o.src IS NULL
+),
+r{i} AS (
+  SELECT n.user_id,
+         ROUND(CAST('{base!r}' AS DOUBLE)
+               + CAST('{d!r}' AS DOUBLE)
+                 * (COALESCE(c.contrib, 0.0) + dd.dm * CAST('{invn!r}' AS DOUBLE)),
+               12) AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (user_id) CROSS JOIN d{i} dd
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT user_id, ROUND(rank, 9) AS pagerank FROM r{_PR_ITERS}
+"""
+
+
+Q62_SQL = _q62_sql()
+
+
 GEO_QUERIES = {
+    "q62_pagerank": (q62_pagerank, Q62_SQL),
     "q59_hll_tile_users": (q59_hll_tile_users, Q59_SQL),
     "q58_user_displacement": (q58_user_displacement, Q58_SQL),
     "q57_geo_dbscan": (q57_geo_dbscan, Q57_SQL),
