@@ -661,6 +661,54 @@ def q31_stream_assign(spark, sf_dir):
     return spark.table("q31_out")
 
 
+def q63_snapshot_time_travel(spark, sf_dir):
+    """Iceberg-lite snapshot semantics under the driver's value gate: the
+    events table is committed as two snapshots (even event_ids, then an
+    append of the odd ones) into a VersionedTable, and the query rolls up
+    BOTH — snapshot 1 read via time travel AFTER the append landed. The
+    DuckDB oracle recomputes both rollups straight from the source table,
+    so a torn append, a stale pointer, or cross-snapshot leakage all
+    hash-mismatch (north_rule: Iceberg-snapshot checkpoint semantics)."""
+    import tempfile
+
+    from .snapshots import VersionedTable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="tzq63_"))
+    vt.commit_overwrite(ev.where(F.col("event_id") % 2 == 0))
+    vt.commit_append(ev.where(F.col("event_id") % 2 == 1))
+
+    def roll(df, sid):
+        return df.agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("event_id").alias("sum_event_id"),
+        ).select(
+            F.lit(sid).cast("int").alias("snapshot_id"),
+            "n_events", "n_users", "sum_event_id",
+        )
+
+    return (
+        roll(vt.read(snapshot_id=1), 1)
+        .unionAll(roll(vt.read(), 2))
+        .orderBy("snapshot_id")
+    )
+
+
+Q63_SQL = """
+SELECT 1 AS snapshot_id, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT 2, count(*), count(DISTINCT user_id), CAST(sum(event_id) AS BIGINT)
+FROM events
+ORDER BY snapshot_id
+"""
+
+
 EXTRA_QUERIES = {
     "q24_extract_gps": q24_extract_gps,
     "q41_full_engine_boxes": q41_full_engine_boxes,
@@ -671,7 +719,9 @@ EXTRA_QUERIES = {
     "q29_image_features": q29_image_features,
     "q30_resize": q30_resize,
     "q31_stream_assign": q31_stream_assign,
+    "q63_snapshot_time_travel": q63_snapshot_time_travel,
 }
+EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 
 # _q27_sql needs the definitions above; register it after the dict literals.
 EXTRA_ORACLES["q27_full_engine_synthetic"] = _q27_sql()
