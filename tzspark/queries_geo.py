@@ -1074,7 +1074,118 @@ SELECT user_id, ROUND(rank, 9) AS pagerank FROM r{_PR_ITERS}
 Q62_SQL = _q62_sql()
 
 
+
+# ---------------------------------------------------------------------------
+# q64: per-zone planar geometry statistics (shoelace area / perimeter /
+# area-weighted centroid), zero UDFs, zero pre-agg shuffle
+# ---------------------------------------------------------------------------
+
+_EDGE_FOLDS = {
+    # signed shoelace over the cyclic edge list, x = lng, y = lat
+    "area_signed": "0.5D * aggregate(edges, CAST(0 AS DOUBLE),"
+    " (acc, e) -> acc + e.alng * e.blat - e.blng * e.alat)",
+    "perimeter": "aggregate(edges, CAST(0 AS DOUBLE), (acc, e) -> acc +"
+    " sqrt((e.blat - e.alat) * (e.blat - e.alat)"
+    " + (e.blng - e.alng) * (e.blng - e.alng)))",
+    "sx": "aggregate(edges, CAST(0 AS DOUBLE), (acc, e) -> acc +"
+    " (e.alng + e.blng) * (e.alng * e.blat - e.blng * e.alat))",
+    "sy": "aggregate(edges, CAST(0 AS DOUBLE), (acc, e) -> acc +"
+    " (e.alat + e.blat) * (e.alng * e.blat - e.blng * e.alat))",
+}
+
+
+def zone_geometry(zone_table) -> DataFrame:
+    """Planar ring geometry per zone row, computed entirely JVM-side: each
+    row folds its own vertex arrays with transform()/aggregate() higher-
+    order expressions — no UDF, no explode, no shuffle — so the operator
+    maps one-to-one over polygon rows at any scale (24k world polygons or
+    10^8 parcels; Catalyst keeps it inside WholeStageCodegen). Edge order
+    matches geom.ring_edges (closing edge first, polygon.go:104): a =
+    v[i-1], b = v[i], f64 arithmetic over the f32 vertices. Signed area
+    (orientation-preserving shoelace), perimeter, and the area-weighted
+    centroid (NULL for degenerate zero-area rings, e.g. the <3-vertex
+    quirk ring polygon.go:101-103)."""
+    edges = (
+        "transform(sequence(1, size(lats)), k -> named_struct("
+        " 'alat', CAST(element_at(lats, IF(k = 1, size(lats), k - 1)) AS DOUBLE),"
+        " 'alng', CAST(element_at(lngs, IF(k = 1, size(lats), k - 1)) AS DOUBLE),"
+        " 'blat', CAST(element_at(lats, k) AS DOUBLE),"
+        " 'blng', CAST(element_at(lngs, k) AS DOUBLE)))"
+    )
+    z = zone_table.withColumn("edges", F.expr(edges))
+    for name, fold in _EDGE_FOLDS.items():
+        z = z.withColumn(name, F.expr(fold))
+    return z.select(
+        "zone_id",
+        "tzid",
+        F.size("lats").alias("n_vertices"),
+        F.round("area_signed", 6).alias("area_signed"),
+        F.round("perimeter", 6).alias("perimeter"),
+        F.round(F.col("sy") / F.nullif(F.lit(6.0) * F.col("area_signed"), F.lit(0.0)), 6)
+        .alias("centroid_lat"),
+        F.round(F.col("sx") / F.nullif(F.lit(6.0) * F.col("area_signed"), F.lit(0.0)), 6)
+        .alias("centroid_lng"),
+    ).orderBy("zone_id")
+
+
+def q64_zone_geometry(spark, sf_dir):
+    """zone_geometry over the full synthetic zone set (concave L-shape,
+    both hole-quirk encodings, 2k-vertex coastline, degenerate ring). The
+    DuckDB oracle inlines every ring edge as f32-exact VALUES (same closing-
+    edge-first order) and replays the identical f64 folds, so the whole
+    relational machinery — not just the formula — is hash-gated."""
+    from .engine import zone_table_df
+    from .zones import make_zones
+
+    return zone_geometry(zone_table_df(spark, make_zones(n_coast=2000)))
+
+
+def _q64_sql() -> str:
+    from .geom import ring_edges
+    from .zones import make_zones
+
+    zones = make_zones(n_coast=2000)
+    zone_rows, edge_rows = [], []
+    for z in sorted(zones, key=lambda z: z.zone_id):
+        zone_rows.append(
+            f"({z.zone_id},'{z.tzid}',{len(z.ring_lat)})"
+        )
+        al, ag, bl, bg = ring_edges(z.ring_lat, z.ring_lng)
+        for k in range(al.shape[0]):
+            edge_rows.append(
+                f"({z.zone_id},{float(al[k])!r},{float(ag[k])!r},"
+                f"{float(bl[k])!r},{float(bg[k])!r})"
+            )
+    return f"""
+WITH zones AS (
+  SELECT * FROM (VALUES {",".join(zone_rows)}) t(zone_id, tzid, n_vertices)
+),
+e AS (
+  SELECT zone_id, CAST(alat AS DOUBLE) AS alat, CAST(alng AS DOUBLE) AS alng,
+         CAST(blat AS DOUBLE) AS blat, CAST(blng AS DOUBLE) AS blng
+  FROM (VALUES {",".join(edge_rows)}) t(zone_id, alat, alng, blat, blng)
+),
+agg AS (
+  SELECT zone_id,
+         0.5 * SUM(alng * blat - blng * alat) AS area_signed,
+         SUM(sqrt((blat - alat) * (blat - alat)
+                  + (blng - alng) * (blng - alng))) AS perimeter,
+         SUM((alng + blng) * (alng * blat - blng * alat)) AS sx,
+         SUM((alat + blat) * (alng * blat - blng * alat)) AS sy
+  FROM e GROUP BY zone_id
+)
+SELECT z.zone_id, z.tzid, z.n_vertices,
+       ROUND(a.area_signed, 6) AS area_signed,
+       ROUND(a.perimeter, 6) AS perimeter,
+       ROUND(a.sy / NULLIF(6 * a.area_signed, 0), 6) AS centroid_lat,
+       ROUND(a.sx / NULLIF(6 * a.area_signed, 0), 6) AS centroid_lng
+FROM zones z JOIN agg a USING (zone_id)
+ORDER BY z.zone_id
+"""
+
+
 GEO_QUERIES = {
+    "q64_zone_geometry": (q64_zone_geometry, _q64_sql()),
     "q62_pagerank": (q62_pagerank, Q62_SQL),
     "q59_hll_tile_users": (q59_hll_tile_users, Q59_SQL),
     "q58_user_displacement": (q58_user_displacement, Q58_SQL),
