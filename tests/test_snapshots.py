@@ -127,6 +127,32 @@ def test_rollback_and_expire(spark, tmp_path):
         vt.expire_snapshots(keep_ids=[1])  # cannot expire current
 
 
+def test_compact_rewrites_files_history_intact(spark, tmp_path):
+    def _data_files(vt, sid):
+        return [
+            f for d in vt.snapshot(sid)["data_dirs"]
+            for f in os.listdir(d) if f.endswith(".parquet")
+        ]
+
+    _, a, b = _halves(spark)
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.commit_overwrite(a.repartition(3))
+    vt.commit_append(b.repartition(3))
+    assert len(_data_files(vt, 2)) == 6
+
+    s3 = vt.compact(target_files=1)
+    assert vt.snapshot(s3)["operation"] == "compact"
+    assert len(vt.snapshot(s3)["data_dirs"]) == 1
+    assert len(_data_files(vt, s3)) == 1
+    assert vt.read().count() == N
+    # pre-compaction history still time-travels
+    assert vt.read(snapshot_id=1).count() == 100
+    assert vt.read(snapshot_id=2).count() == N
+    got = sorted(r["image_id"] for r in vt.read().collect())
+    exp = sorted(r["image_id"] for r in vt.read(snapshot_id=2).collect())
+    assert got == exp
+
+
 def test_resume_from_snapshot_checkpoint(spark, tmp_path):
     """Each resume lands as one append snapshot; re-runs process only the
     missing keys; a no-op run commits nothing."""

@@ -1184,7 +1184,78 @@ ORDER BY z.zone_id
 """
 
 
+
+def q65_zone_transitions(spark, sf_dir):
+    """Geofence transition detection (trajectory enter/exit): every event
+    point is assigned its zone by the engine's compiled-cover probe (the
+    q11 kernel; -1 = no zone), each user's events are ordered by (ts,
+    event_id), and one row is emitted per zone CHANGE — from_zone ->
+    to_zone at the crossing event. Scale shape: the assignment is narrow
+    (broadcast cover probe, zero shuffle), the LAG needs exactly ONE
+    Exchange on user_id, and the change filter is partition-local — the
+    same plan at 10^12 rows. The first event per user is not a transition
+    (prev IS NULL)."""
+    from pyspark.sql import Window as W
+
+    from .engine import resolve_only_udf
+
+    zones = box_zones(spark, sf_dir)
+    bidx = spark.sparkContext.broadcast(compile_cover(zones, base_res=3, max_res=7))
+    p = pts_df(spark, sf_dir, with_user=True)
+    a = p.withColumn(
+        "zone_id", resolve_only_udf(bidx)(F.col("lat"), F.col("lng"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = a.select(
+        "user_id",
+        "event_id",
+        "zone_id",
+        F.lag("zone_id").over(w).alias("prev_zone"),
+    )
+    return (
+        t.where(F.col("prev_zone").isNotNull() & (F.col("prev_zone") != F.col("zone_id")))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("prev_zone").cast("int").alias("from_zone"),
+            F.col("zone_id").cast("int").alias("to_zone"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+Q65_SQL = f"""
+WITH pts AS (
+SELECT event_id, ts, user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+boxes AS ({BOXES_SQL}),
+az AS (
+  SELECT p.event_id, p.ts, p.user_id,
+         CAST(COALESCE(MIN(CASE WHEN {_CONTAIN_F32} THEN b.zone_id END), -1)
+              AS INTEGER) AS zone_id
+  FROM pts p CROSS JOIN boxes b
+  GROUP BY p.event_id, p.ts, p.user_id
+),
+tr AS (
+  SELECT user_id, event_id, zone_id,
+         LAG(zone_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_zone
+  FROM az
+)
+SELECT user_id, event_id,
+       CAST(prev_zone AS INTEGER) AS from_zone,
+       CAST(zone_id AS INTEGER) AS to_zone
+FROM tr
+WHERE prev_zone IS NOT NULL AND prev_zone <> zone_id
+ORDER BY user_id, event_id
+"""
+
+
 GEO_QUERIES = {
+    "q65_zone_transitions": (q65_zone_transitions, Q65_SQL),
     "q64_zone_geometry": (q64_zone_geometry, _q64_sql()),
     "q62_pagerank": (q62_pagerank, Q62_SQL),
     "q59_hll_tile_users": (q59_hll_tile_users, Q59_SQL),

@@ -155,6 +155,17 @@ class VersionedTable:
 
     # -- maintenance -------------------------------------------------------
 
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the current snapshot's files into ``target_files``
+        (rewrite_data_files maintenance analog): a long append chain
+        accumulates one small file set per commit, which a 1000-executor
+        scan pays for in task-scheduling overhead; compaction folds them
+        into one fresh overwrite snapshot. History stays time-travelable
+        until expire_snapshots."""
+        df = self.read().coalesce(target_files)
+        snap_id = self._commit(df, "compact")
+        return snap_id
+
     def rollback(self, snapshot_id: int):
         """Point the table back at an older snapshot (pure metadata swap;
         newer snapshots stay readable by id until expired)."""
