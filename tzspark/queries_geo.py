@@ -1254,7 +1254,97 @@ ORDER BY user_id, event_id
 """
 
 
+
+def q66_focal_tile_stats(spark, sf_dir):
+    """Raster focal (3x3 k-ring) aggregation — the tile-raster convolution:
+    per-cell event stats are spread to the 9-cell neighborhood and
+    re-aggregated, giving every cell the smoothed occupancy of its window.
+    Scale shape: points collapse to tiles FIRST (one shuffle, map-side
+    combinable), the 9x explode runs over tiles (orders of magnitude
+    smaller than points), and the focal re-agg is a second tiny shuffle —
+    the standard distributed raster convolution. All-integer arithmetic
+    (counts + exact bigint sums), so the oracle comparison is exact."""
+    RES = 5
+    n = 1 << RES
+    p = pts_df(spark, sf_dir, with_user=True)
+    t = (
+        p.withColumn("cell", cell_id_col(F.col("lat"), F.col("lng"), RES))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_ev"), F.sum("user_id").alias("s_uid"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ]
+    )
+    nb = (
+        t.select(
+            F.expr(f"cell DIV {n}").alias("row"),
+            (F.col("cell") % n).alias("col"),
+            "n_ev",
+            "s_uid",
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            (F.col("row") + F.col("o.dr")).alias("nr"),
+            (F.col("col") + F.col("o.dc")).alias("nc"),
+            "n_ev",
+            "s_uid",
+        )
+        .where(
+            (F.col("nr") >= 0) & (F.col("nr") < n)
+            & (F.col("nc") >= 0) & (F.col("nc") < n)
+        )
+    )
+    return (
+        nb.groupBy((F.col("nr") * n + F.col("nc")).alias("cell_id"))
+        .agg(
+            F.sum("n_ev").alias("focal_n_events"),
+            F.sum("s_uid").alias("focal_sum_user"),
+            F.count("*").cast("int").alias("n_tiles"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+def _q66_sql() -> str:
+    n = 1 << 5
+    cell = cell_id_sql("lat", "lng", 5)
+    return f"""
+WITH pts AS (
+SELECT event_id, user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+t AS (
+  SELECT {cell} AS cell, COUNT(*) AS n_ev, SUM(user_id) AS s_uid
+  FROM pts GROUP BY 1
+),
+o AS (
+  SELECT a.dr, b.dc
+  FROM (VALUES (-1), (0), (1)) a(dr) CROSS JOIN (VALUES (-1), (0), (1)) b(dc)
+),
+nb AS (
+  SELECT (t.cell // {n}) + o.dr AS nr, (t.cell % {n}) + o.dc AS nc,
+         t.n_ev, t.s_uid
+  FROM t CROSS JOIN o
+)
+SELECT nr * {n} + nc AS cell_id,
+       CAST(SUM(n_ev) AS BIGINT) AS focal_n_events,
+       CAST(SUM(s_uid) AS BIGINT) AS focal_sum_user,
+       CAST(COUNT(*) AS INTEGER) AS n_tiles
+FROM nb
+WHERE nr BETWEEN 0 AND {n - 1} AND nc BETWEEN 0 AND {n - 1}
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 GEO_QUERIES = {
+    "q66_focal_tile_stats": (q66_focal_tile_stats, _q66_sql()),
     "q65_zone_transitions": (q65_zone_transitions, Q65_SQL),
     "q64_zone_geometry": (q64_zone_geometry, _q64_sql()),
     "q62_pagerank": (q62_pagerank, Q62_SQL),
