@@ -193,3 +193,85 @@ def bbox_clamp_dist2_pairs(
     dlat = np.maximum(np.maximum(min_lat - pl, pl - max_lat), 0.0)
     dlng = np.maximum(np.maximum(min_lng - pg, pg - max_lng), 0.0)
     return dlat * dlat + dlng * dlng
+
+
+def clip_ring_rect(
+    ring_lat: np.ndarray,
+    ring_lng: np.ndarray,
+    lat0: float,
+    lng0: float,
+    lat1: float,
+    lng1: float,
+):
+    """Sutherland-Hodgman clip of a ring to the half-open rect
+    [lat0,lat1) x [lng0,lng1), float64 arithmetic over the f32 vertices.
+
+    Returns (clipped_lat, clipped_lng) float64 arrays (possibly empty).
+    The subject may be concave: the classic S-H degenerate bridge edges a
+    concave ring produces when it exits and re-enters the window are
+    coincident in/out segment pairs with ZERO net signed area, so the
+    shoelace of the output equals the true signed area of ring ∩ rect —
+    which is exactly the invariant the clip-conservation oracle (q67)
+    checks. This is the engine analog of the north_star's "boundary cells
+    carrying clipped polygon fragments"."""
+    y = np.asarray(ring_lat, dtype=F32).astype(np.float64)
+    x = np.asarray(ring_lng, dtype=F32).astype(np.float64)
+    if y.shape[0] < 3:
+        return np.empty(0), np.empty(0)
+
+    # each clip boundary: inside(y, x) predicate + segment-boundary
+    # intersection parameterized on the kept coordinate
+    def clip_half(y, x, keep, cross_at):
+        n = y.shape[0]
+        if n == 0:
+            return y, x
+        yp, xp = np.roll(y, 1), np.roll(x, 1)  # previous vertex
+        ins, ins_p = keep(y, x), keep(yp, xp)
+        out_y, out_x = [], []
+        for i in range(n):
+            if ins[i]:
+                if not ins_p[i]:  # entering: emit the intersection first
+                    iy, ix = cross_at(yp[i], xp[i], y[i], x[i])
+                    out_y.append(iy)
+                    out_x.append(ix)
+                out_y.append(y[i])
+                out_x.append(x[i])
+            elif ins_p[i]:  # leaving: emit the exit intersection
+                iy, ix = cross_at(yp[i], xp[i], y[i], x[i])
+                out_y.append(iy)
+                out_x.append(ix)
+        return np.asarray(out_y), np.asarray(out_x)
+
+    def at_lat(v):
+        def cross(ya, xa, yb, xb):
+            t = (v - ya) / (yb - ya)
+            return v, xa + t * (xb - xa)
+
+        return cross
+
+    def at_lng(v):
+        def cross(ya, xa, yb, xb):
+            t = (v - xa) / (xb - xa)
+            return ya + t * (yb - ya), v
+
+        return cross
+
+    for keep, cross in (
+        (lambda yy, xx: yy >= lat0, at_lat(lat0)),
+        (lambda yy, xx: yy <= lat1, at_lat(lat1)),
+        (lambda yy, xx: xx >= lng0, at_lng(lng0)),
+        (lambda yy, xx: xx <= lng1, at_lng(lng1)),
+    ):
+        y, x = clip_half(y, x, keep, cross)
+    return y, x
+
+
+def ring_area_signed(ring_lat: np.ndarray, ring_lng: np.ndarray) -> float:
+    """Signed shoelace area in f64 (x = lng, y = lat), closing edge first —
+    the numpy twin of queries_geo.zone_geometry's JVM fold."""
+    y = np.asarray(ring_lat, dtype=np.float64)
+    x = np.asarray(ring_lng, dtype=np.float64)
+    if y.shape[0] < 3:
+        return 0.0
+    xa, ya = np.roll(x, 1), np.roll(y, 1)
+    return float(0.5 * np.sum(xa * y - x * ya))

@@ -1343,7 +1343,155 @@ ORDER BY 1
 """
 
 
+
+_Q67_RES = 6
+
+
+def _q67_zones():
+    """Simple (non-self-intersecting, >=3 vertex) rings only: Sutherland-
+    Hodgman's area-conservation argument needs a simple subject; the HoleB
+    concatenated-ring quirk is even-odd territory (handled by the PIP
+    kernel, not the clipper) and the degenerate ring has no area."""
+    from .zones import make_zones
+
+    return [
+        z for z in make_zones(n_coast=500)
+        if len(z.ring_lat) >= 3 and z.tzid != "Test/HoleB"
+    ]
+
+
+def q67_clip_conservation(spark, sf_dir):
+    """Boundary-fragment clipping (the north_star's "boundary cells
+    carrying clipped polygon fragments") under the value gate: every
+    simple zone ring is clipped to each res-{RES} cell overlapping its
+    bbox (geom.clip_ring_rect, Sutherland-Hodgman in f64 over the f32
+    vertices), fragment signed areas are summed per zone, and the total
+    must equal the UNCLIPPED shoelace area — which is what the DuckDB
+    oracle computes from the inlined ring edges. Cells tile the plane
+    half-open, so conservation is exact up to f64 rounding; a clipper bug
+    (dropped fragment, wrong intersection, double-counted cell)
+    hash-mismatches. Scale shape: the (zone x overlapping-cell) pair list
+    is built JVM-side with sequence()/explode over zone rows, fragments
+    never materialize — mapInPandas folds each pair to a partial area sum
+    in-batch and ONE final shuffle aggregates per zone. (At world scale
+    the geometry rides once per partition via the broadcast cover rather
+    than per pair row — same fold.)"""
+    import pandas as pd
+
+    from .cells import cell_bounds
+    from .engine import zone_table_df
+    from .geom import clip_ring_rect, ring_area_signed
+
+    RES = _Q67_RES
+    n = 1 << RES
+    zt = zone_table_df(spark, _q67_zones())
+    pairs = (
+        zt.withColumn(
+            "r0",
+            F.greatest(
+                F.floor((F.col("min_lat") + 90.0) / 180.0 * n).cast("bigint"),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "r1",
+            F.least(
+                F.floor((F.col("max_lat") + 90.0) / 180.0 * n).cast("bigint"),
+                F.lit(n - 1),
+            ),
+        )
+        .withColumn(
+            "c0",
+            F.greatest(
+                F.floor((F.col("min_lng") + 180.0) / 360.0 * n).cast("bigint"),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "c1",
+            F.least(
+                F.floor((F.col("max_lng") + 180.0) / 360.0 * n).cast("bigint"),
+                F.lit(n - 1),
+            ),
+        )
+        .select(
+            "zone_id",
+            "tzid",
+            "lats",
+            "lngs",
+            F.explode(F.sequence("r0", "r1")).alias("crow"),
+            "c0",
+            "c1",
+        )
+        .select(
+            "zone_id", "tzid", "lats", "lngs", "crow",
+            F.explode(F.sequence("c0", "c1")).alias("ccol"),
+        )
+        .repartition(8, "zone_id", "crow", "ccol")
+    )
+
+    out_schema = "zone_id int, tzid string, partial double"
+
+    def fold(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acc = {}
+            for zid, tzid, lats, lngs, crow, ccol in zip(
+                pdf["zone_id"], pdf["tzid"], pdf["lats"], pdf["lngs"],
+                pdf["crow"], pdf["ccol"],
+            ):
+                lat0, lng0, lat1, lng1 = cell_bounds(int(crow), int(ccol), RES)
+                fy, fx = clip_ring_rect(lats, lngs, lat0, lng0, lat1, lng1)
+                a = ring_area_signed(fy, fx)
+                k = (int(zid), tzid)
+                acc[k] = acc.get(k, 0.0) + a
+            yield pd.DataFrame(
+                [(z, t, a) for (z, t), a in acc.items()],
+                columns=["zone_id", "tzid", "partial"],
+            )
+
+    frags = pairs.mapInPandas(fold, out_schema)
+    return (
+        frags.groupBy("zone_id", "tzid")
+        .agg(F.round(F.sum("partial"), 6).alias("area_signed"))
+        .orderBy("zone_id")
+    )
+
+
+def _q67_sql() -> str:
+    from .geom import ring_edges
+
+    zone_rows, edge_rows = [], []
+    for z in _q67_zones():
+        zone_rows.append(f"({z.zone_id},'{z.tzid}')")
+        al, ag, bl, bg = ring_edges(z.ring_lat, z.ring_lng)
+        for k in range(al.shape[0]):
+            edge_rows.append(
+                f"({z.zone_id},{float(al[k])!r},{float(ag[k])!r},"
+                f"{float(bl[k])!r},{float(bg[k])!r})"
+            )
+    return f"""
+WITH zones AS (
+  SELECT * FROM (VALUES {",".join(zone_rows)}) t(zone_id, tzid)
+),
+e AS (
+  SELECT zone_id, CAST(alat AS DOUBLE) AS alat, CAST(alng AS DOUBLE) AS alng,
+         CAST(blat AS DOUBLE) AS blat, CAST(blng AS DOUBLE) AS blng
+  FROM (VALUES {",".join(edge_rows)}) t(zone_id, alat, alng, blat, blng)
+),
+agg AS (
+  SELECT zone_id, 0.5 * SUM(alng * blat - blng * alat) AS area
+  FROM e GROUP BY zone_id
+)
+SELECT z.zone_id, z.tzid, ROUND(a.area, 6) AS area_signed
+FROM zones z JOIN agg a USING (zone_id)
+ORDER BY z.zone_id
+"""
+
+
 GEO_QUERIES = {
+    "q67_clip_conservation": (q67_clip_conservation, _q67_sql()),
     "q66_focal_tile_stats": (q66_focal_tile_stats, _q66_sql()),
     "q65_zone_transitions": (q65_zone_transitions, Q65_SQL),
     "q64_zone_geometry": (q64_zone_geometry, _q64_sql()),
