@@ -225,3 +225,71 @@ def test_stream_sessionize_closed_sessions_equal_batch(spark, tmp_path):
         got["total_value"].to_numpy(), want["total_value"].to_numpy(),
         rtol=0, atol=1e-9,
     )
+
+
+def test_stream_zone_transitions_equal_batch(spark, tmp_path):
+    """Stateful geofence transitions: a multi-trigger AvailableNow drain
+    emits exactly the batch q65 rows — including transitions whose two
+    events arrive in DIFFERENT triggers (the state-store crossing)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tzspark.cells import compile_cover
+    from tzspark.engine import resolve_only_udf
+    from tzspark.queries_geo import box_zones, q65_zone_transitions
+    from tzspark.streaming import run_available_now, stream_zone_transitions
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    # time-ordered single-file chunks (per-user ordered arrival contract)
+    pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = str(tmp_path / "evstream")
+    os.makedirs(d)
+    for i, chunk in enumerate(np.array_split(pdf, 6)):
+        p = f"{d}/chunk{i:02d}.parquet"
+        pq.write_table(pa.Table.from_pandas(chunk, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    zones = box_zones(spark, sf)
+    bidx = spark.sparkContext.broadcast(
+        compile_cover(zones, base_res=3, max_res=7)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            ((F.col("user_id") * 7 % 180) - 90 + F.col("value") / 1e6).alias("lat"),
+            ((F.col("event_id") * 13 % 360) - 180).cast("double").alias("lng"),
+        )
+        .withColumn("zone_id", resolve_only_udf(bidx)(F.col("lat"), F.col("lng")))
+    )
+    run_available_now(
+        stream_zone_transitions(stream),
+        str(tmp_path / "ckpt"),
+        "trans_stream_out",
+        output_mode="append",
+    )
+    got = (
+        spark.table("trans_stream_out")
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = q65_zone_transitions(spark, sf).toPandas().reset_index(drop=True)
+    assert len(want) > 20
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "from_zone", "to_zone"]],
+        want[["user_id", "event_id", "from_zone", "to_zone"]],
+        check_dtype=False,
+    )

@@ -250,3 +250,54 @@ def run_available_now(
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+TRANSITION_STATE_SCHEMA = "prev_zone INTEGER"
+TRANSITION_OUT_SCHEMA = (
+    "user_id LONG, event_id LONG, from_zone INTEGER, to_zone INTEGER"
+)
+
+
+def stream_zone_transitions(assigned_events_stream: DataFrame):
+    """Custom STATEFUL streaming operator: geofence transition detection —
+    the streaming twin of queries_geo.q65_zone_transitions.
+
+    Input: an event stream already carrying ``zone_id`` from the stateless
+    broadcast-cover probe upstream (the assignment itself needs no state),
+    plus (user_id, event_id, ts). Per-user state is ONE integer — the zone
+    of the user's latest event — so the state store is O(active users)
+    regardless of stream length; each micro-batch sorts its own rows by
+    (ts, event_id) and emits a row per zone change, including changes that
+    straddle trigger boundaries (the whole reason this needs
+    applyInPandasWithState instead of a per-batch window). Same arrival
+    contract as stream_sessionize: per-user event-time-ordered delivery
+    across triggers. Unlike sessionization there is no open tail — a
+    drained AvailableNow run emits EXACTLY the batch answer (pinned in
+    tests/test_streaming.py)."""
+    import pandas as pd
+
+    def _fn(key, pdfs, state):
+        (user_id,) = key
+        ev = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        prev = state.get[0] if state.exists else None
+        out = []
+        for eid, z in zip(ev["event_id"], ev["zone_id"]):
+            z = int(z)
+            if prev is not None and z != prev:
+                out.append((user_id, int(eid), prev, z))
+            prev = z
+        state.update((prev,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "from_zone", "to_zone"]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return assigned_events_stream.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        TRANSITION_OUT_SCHEMA,
+        TRANSITION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
