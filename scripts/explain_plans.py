@@ -328,6 +328,47 @@ def main():
     if n_ex10 > 1:
         failures.append(f"pq-topk: {n_ex10} Exchanges (expected 1: the probe_idx window)")
 
+    # 11-14. round-4 additions: geometry folds, geofence window, focal
+    # convolution, clip conservation
+    from tzspark.queries_geo import (
+        q64_zone_geometry,
+        q65_zone_transitions,
+        q66_focal_tile_stats,
+        q67_clip_conservation,
+    )
+
+    sf001 = "/root/testdata/sf0.001"
+
+    p11 = plan_of(q64_zone_geometry(spark, sf001))
+    sections.append(("zone geometry folds (shoelace/perimeter/centroid)", p11))
+    if re.search(r"ArrowEvalPython|MapInPandas|MapInArrow|BatchEvalPython", p11):
+        failures.append("zone-geometry: unexpected Python stage (array folds are JVM exprs)")
+    if len(re.findall(r"\(\d+\) Exchange\b", p11)) > 1:
+        failures.append("zone-geometry: >1 Exchange (only the presentation sort expected)")
+
+    p12 = plan_of(q65_zone_transitions(spark, sf001))
+    sections.append(("geofence transitions (probe + user window)", p12))
+    if len(re.findall(r"\(\d+\) ArrowEvalPython\b", p12)) != 1:
+        failures.append("transitions: expected exactly 1 Python stage (the cover probe)")
+    if len(re.findall(r"\(\d+\) Exchange\b", p12)) > 2:
+        failures.append("transitions: >2 Exchanges (user window + presentation sort)")
+
+    p13 = plan_of(q66_focal_tile_stats(spark, sf001))
+    sections.append(("focal 3x3 tile aggregation (raster convolution)", p13))
+    if re.search(r"ArrowEvalPython|MapInPandas|MapInArrow|BatchEvalPython", p13):
+        failures.append("focal: unexpected Python stage (pure column ops)")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p13):
+        failures.append("focal: plan degenerates to a cross join")
+    if len(re.findall(r"\(\d+\) Exchange\b", p13)) > 3:
+        failures.append("focal: >3 Exchanges (tile agg + focal re-agg + sort)")
+
+    p14 = plan_of(q67_clip_conservation(spark, sf001))
+    sections.append(("clip conservation (fragment partial sums)", p14))
+    if len(re.findall(r"\(\d+\) MapInPandas\b", p14)) != 1:
+        failures.append("clip: expected exactly 1 Python stage (the fragment fold)")
+    if re.search(r"SortMergeJoin|CartesianProduct", p14):
+        failures.append("clip: unexpected join in the pair-list build")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -355,6 +396,13 @@ def main():
             "probe_idx window); the packed-code corpus never shuffles\n"
             "- PQ ADC top-k: same shape — 2 Arrow stages (encode+search), "
             "one Exchange; candidates are never decompressed\n"
+            "- zone geometry: JVM-only array folds, zero Python stages, one "
+            "Exchange (presentation sort)\n"
+            "- geofence transitions: one Python stage (cover probe), <= 2 "
+            "Exchanges (user window + sort)\n"
+            "- focal convolution: pure column ops over tiles, no cross join, "
+            "<= 3 Exchanges\n"
+            "- clip conservation: one MapInPandas fragment fold, no joins\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))
