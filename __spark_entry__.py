@@ -34,6 +34,13 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
 
+# ...and the env vars cannot retune THIS process (glibc read them before
+# Python started), so apply the same tunables via mallopt(3) for driver-side
+# numpy work (cover compile, kNN table):
+from tzspark._malloc import apply_malloc_tuning
+
+apply_malloc_tuning()
+
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 

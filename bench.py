@@ -39,6 +39,13 @@ os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
 
+# ...and the env vars cannot retune THIS process (glibc read them before
+# Python started), so apply the same tunables via mallopt(3) for driver-side
+# numpy work (cover compile, kNN table):
+from tzspark._malloc import apply_malloc_tuning
+
+apply_malloc_tuning()
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))

@@ -9,6 +9,17 @@ import pytest
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
 
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# ...and the env vars cannot retune THIS process (glibc read them before
+# Python started), so apply the same tunables via mallopt(3) for driver-side
+# numpy work (cover compile, kNN table):
+from tzspark._malloc import apply_malloc_tuning
+
+apply_malloc_tuning()
+
 
 @pytest.fixture(scope="session")
 def spark():

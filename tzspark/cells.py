@@ -453,7 +453,12 @@ def _compile_knn_table(zone_bbox: np.ndarray, res: int = DEFAULT_KNN_RES):
     c_lat0, c_lng0, c_lat1, c_lng1 = _cell_rects(n)
     off = np.zeros(n * n + 1, dtype=np.int64)
     keep_parts = []
-    step = max(1, _KNN_CELL_BUDGET // max(nz, 1))
+    # smaller chunks than the query-side budget: the FIRST chunk's
+    # temporaries fault in fresh pages (expensive on this host's bad
+    # windows, BASELINE.md round 4) and every later chunk reuses them, so
+    # many small chunks beat few huge ones — same flops, ~8x fewer fresh
+    # pages at Z=24k (measured 103 s -> ~1 s for the res-4 dense level)
+    step = max(1, min(_KNN_CELL_BUDGET, 500_000) // max(nz, 1))
     for s in range(0, n * n, step):
         sl = slice(s, min(s + step, n * n))
         ncell = sl.stop - sl.start
@@ -559,9 +564,6 @@ def compile_cover(
         [[0], np.cumsum([len(p[0]) for p in edge_parts])]
     ).astype(np.int64)
 
-    full_claims = {r: {} for r in range(base_res, max_res + 1)}  # cell -> [zidx]
-    boundary = {}  # cell -> list[(zidx, np.ndarray edge_subset_global_idx)]
-
     live = [zidx for zidx, z in enumerate(zones) if len(z.ring_lat) >= 3]
     # degenerate (<3 vertex) rings never match (polygon.go:101-103) — skipped
     auto = workers is None
@@ -606,14 +608,25 @@ def compile_cover(
             for zidx in live
         ]
 
+    # vectorized merge: gather every zone's claim/boundary rows into flat
+    # arrays, then ONE lexsort per structure produces the CSR layouts.
+    # Byte-identical to the old per-entry dict merge (cells ascending,
+    # candidates ascending zidx within a cell — zidx is the lexsort
+    # secondary key) but with zero per-cell Python: at Z=24k the dict form
+    # burned ~20 s in 1.9M list appends and 400k one-element astype calls.
+    full_cids = {r: [] for r in range(base_res, max_res + 1)}
+    full_owner = {r: [] for r in range(base_res, max_res + 1)}  # (zidx, len)
+    b_cid_l, b_zidx_l, b_sub_l, b_base_l = [], [], [], []
     for zidx, (z_full, z_boundary) in zip(live, covers):
         base = zone_edge_base[zidx]
         for res, cids in z_full.items():
-            claims = full_claims[res]
-            for cid in cids.tolist():
-                claims.setdefault(cid, []).append(zidx)
+            full_cids[res].append(cids)  # native dtype; one astype per res below
+            full_owner[res].append((zidx, len(cids)))
         for cid, sub in z_boundary:
-            boundary.setdefault(cid, []).append((zidx, (sub + base).astype(np.int64)))
+            b_cid_l.append(cid)
+            b_zidx_l.append(zidx)
+            b_sub_l.append(sub)
+            b_base_l.append(base)
 
     idx = CompiledIndex(
         base_res=base_res,
@@ -627,39 +640,48 @@ def compile_cover(
         eb_lng=eb_lng,
     )
 
-    for r, claims in full_claims.items():
-        if not claims:
+    for r in range(base_res, max_res + 1):
+        if not full_cids[r]:
             idx.full[r] = (
                 np.empty(0, np.int64),
                 np.zeros(1, np.int64),
                 np.empty(0, np.int32),
             )
             continue
-        cells = np.array(sorted(claims), dtype=np.int64)
-        lists = [sorted(claims[c]) for c in cells]
-        off = np.concatenate([[0], np.cumsum([len(x) for x in lists])]).astype(np.int64)
-        zl = np.array([z for xs in lists for z in xs], dtype=np.int32)
-        idx.full[r] = (cells, off, zl)
+        carr = np.concatenate(full_cids[r]).astype(np.int64, copy=False)
+        owners = np.array(full_owner[r], np.int64)
+        zarr = np.repeat(owners[:, 0], owners[:, 1]).astype(np.int32)
+        order = np.lexsort((zarr, carr))
+        carr, zarr = carr[order], zarr[order]
+        cells, counts = np.unique(carr, return_counts=True)
+        off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        idx.full[r] = (cells, off, zarr)
 
-    b_cells = np.array(sorted(boundary), dtype=np.int64)
-    b_off = [0]
-    b_zone = []
-    b_edge_off = [0]
-    edge_idx_parts = []
-    for c in b_cells:
-        cands = sorted(boundary[c], key=lambda t: t[0])
-        for zidx, sub in cands:
-            b_zone.append(zidx)
-            edge_idx_parts.append(sub)
-            b_edge_off.append(b_edge_off[-1] + len(sub))
-        b_off.append(b_off[-1] + len(cands))
-    idx.b_cells = b_cells
-    idx.b_off = np.array(b_off, dtype=np.int64)
-    idx.b_zone = np.array(b_zone, dtype=np.int32)
-    idx.b_edge_off = np.array(b_edge_off, dtype=np.int64)
-    edge_idx = (
-        np.concatenate(edge_idx_parts) if edge_idx_parts else np.empty(0, np.int64)
-    )
+    if b_cid_l:
+        b_cid = np.asarray(b_cid_l, np.int64)
+        b_zdx = np.asarray(b_zidx_l, np.int64)
+        lens = np.array([len(sub) for sub in b_sub_l], np.int64)
+        starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        big = np.concatenate(b_sub_l).astype(np.int64)
+        big += np.repeat(np.asarray(b_base_l, np.int64), lens)
+        order = np.lexsort((b_zdx, b_cid))
+        cells_b, cell_counts = np.unique(b_cid[order], return_counts=True)
+        idx.b_cells = cells_b
+        idx.b_off = np.concatenate([[0], np.cumsum(cell_counts)]).astype(np.int64)
+        idx.b_zone = b_zdx[order].astype(np.int32)
+        ordered_lens = lens[order]
+        idx.b_edge_off = np.concatenate([[0], np.cumsum(ordered_lens)]).astype(np.int64)
+        edge_idx = (
+            big[_ragged_ramp(starts[order], ordered_lens)]
+            if big.size
+            else np.empty(0, np.int64)
+        )
+    else:
+        idx.b_cells = np.empty(0, np.int64)
+        idx.b_off = np.zeros(1, np.int64)
+        idx.b_zone = np.empty(0, np.int32)
+        idx.b_edge_off = np.zeros(1, np.int64)
+        edge_idx = np.empty(0, np.int64)
     idx.zone_edge_off = zone_edge_base
     _set_boundary_edges(idx, edge_idx)
     idx.knn_res = DEFAULT_KNN_RES
