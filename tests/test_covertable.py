@@ -246,3 +246,42 @@ def test_proximity_self_join_equals_bruteforce(spark):
         ii, jj = np.nonzero(d2 <= radius * radius)
         want = {(int(i), int(j)) for i, j in zip(ii, jj) if i < j}
         assert got == want, (radius, res, len(got), len(want))
+
+
+def test_point_pairs_within_equals_bruteforce(spark):
+    """Two-set radius join (IDW's pair source): cell-blocked result ==
+    brute-force cross join, carry column intact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tzspark.covertable import point_pairs_within
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 40, 300
+    lpts = [(i, float(lat), float(lng)) for i, (lat, lng) in enumerate(
+        zip(rng.uniform(-20, 20, n_l), rng.uniform(-20, 20, n_l)))]
+    rpts = [(1000 + i, float(lat), float(lng), float(v)) for i, (lat, lng, v) in
+            enumerate(zip(rng.uniform(-20, 20, n_r), rng.uniform(-20, 20, n_r),
+                          rng.normal(size=n_r)))]
+    L = spark.createDataFrame(lpts, "pid long, lat double, lng double")
+    R = spark.createDataFrame(rpts, "sid long, lat double, lng double, value double")
+
+    for radius, res in ((1.5, 8), (4.0, 5), (0.0, 7)):
+        got = {
+            (r["pid"], r["sid"]): (r["dist2"], r["value"])
+            for r in point_pairs_within(
+                L, "pid", R, "sid", radius=radius, res=res, carry_cols=["value"]
+            ).collect()
+        }
+        la = np.float32([p[1] for p in lpts]).astype(np.float64)
+        lg = np.float32([p[2] for p in lpts]).astype(np.float64)
+        ra = np.float32([p[1] for p in rpts]).astype(np.float64)
+        rg = np.float32([p[2] for p in rpts]).astype(np.float64)
+        d2 = (la[:, None] - ra[None, :]) ** 2 + (lg[:, None] - rg[None, :]) ** 2
+        want = {
+            (lpts[i][0], rpts[j][0]): (d2[i, j], rpts[j][3])
+            for i, j in zip(*np.nonzero(d2 <= radius * radius))
+        }
+        assert set(got) == set(want), (radius, res)
+        for k, (gd, gv) in got.items():
+            assert abs(gd - want[k][0]) < 1e-12 and gv == want[k][1]

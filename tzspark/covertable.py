@@ -787,6 +787,66 @@ def proximity_self_join(
     )
 
 
+def point_pairs_within(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    radius: float,
+    res: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    carry_cols: list = None,
+) -> DataFrame:
+    """Two-set point radius join: every (left, right) pair within ``radius``
+    degrees — proximity_self_join's asymmetric blocking without the
+    self-dedup. The LEFT side enumerates every grid cell its [lat+-r,
+    lng+-r] rectangle overlaps; the RIGHT side maps each point to its one
+    containing cell, so each qualifying pair arises in exactly one cell
+    (complete, duplicate-free, never |L| x |R|). ``carry_cols`` names right
+    columns to keep on the pairs (e.g. the site's measurement for IDW).
+
+    Returns (<left_key>, <right_key>, dist2:double, *carry_cols).
+    """
+    n = 1 << res
+    r = float(radius)
+    carry_cols = carry_cols or []
+
+    la = F.col(lat_col).cast("float").cast("double")
+    lg = F.col(lng_col).cast("float").cast("double")
+    r0, r1, c0, c1 = _grid_rowcol_range(la - r, la + r, lg - r, lg + r, res)
+    a = (
+        left.select(
+            F.col(left_key).alias("_kl"), la.alias("_lat_a"), lg.alias("_lng_a"),
+            r0.alias("_r0"), r1.alias("_r1"), c0.alias("_c0"), c1.alias("_c1"),
+        )
+        .withColumn("_row", F.explode(F.sequence("_r0", "_r1")))
+        .withColumn("_col", F.explode(F.sequence("_c0", "_c1")))
+        .select(
+            "_kl", "_lat_a", "_lng_a",
+            (F.col("_row") * n + F.col("_col")).alias("_cell"),
+        )
+    )
+    b = right.select(
+        F.col(right_key).alias("_kr"), la.alias("_lat_b"), lg.alias("_lng_b"),
+        cell_id_col(F.col(lat_col), F.col(lng_col), res).alias("_cell"),
+        *carry_cols,
+    )
+    j = a.join(b.hint("shuffle_hash"), "_cell")
+    dlat = F.col("_lat_a") - F.col("_lat_b")
+    dlng = F.col("_lng_a") - F.col("_lng_b")
+    return (
+        j.withColumn("dist2", dlat * dlat + dlng * dlng)
+        .where(F.col("dist2") <= r * r)
+        .select(
+            F.col("_kl").alias(left_key),
+            F.col("_kr").alias(right_key),
+            "dist2",
+            *carry_cols,
+        )
+    )
+
+
 def geo_dbscan(
     points: DataFrame,
     key_col: str,

@@ -1490,7 +1490,78 @@ ORDER BY z.zone_id
 """
 
 
+
+_IDW_R = 6.0
+_IDW_EPS = 1e-9
+_IDW_PROBE_MOD = 389
+
+
+def q68_idw_interpolation(spark, sf_dir):
+    """Inverse-distance-weighted spatial interpolation, leave-one-out: a
+    deterministic probe subset of the event points predicts its own
+    ``value`` from every OTHER event within _IDW_R degrees, weighted
+    1/(dist2 + eps). Pairs come from covertable.point_pairs_within — the
+    asymmetric cell-blocked two-set radius join (probe rectangles x site
+    single cells, complete and duplicate-free, never |probes| x |sites|) —
+    then ONE groupBy folds the weighted sums. Scale shape: identical to
+    every cover probe (cell-id equi-join + keyed agg); the DuckDB oracle
+    recomputes it by brute-force cross join."""
+    from .covertable import point_pairs_within
+
+    p = pts_df(spark, sf_dir, with_user=False)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    sites = p.join(ev, "event_id").select(
+        F.col("event_id").alias("site_id"), "lat", "lng", "value"
+    )
+    probes = (
+        p.where(F.col("event_id") % _IDW_PROBE_MOD == 0)
+        .select(F.col("event_id").alias("probe_id"), "lat", "lng")
+    )
+    pairs = point_pairs_within(
+        probes, "probe_id", sites, "site_id", radius=_IDW_R, res=6,
+        carry_cols=["value"],
+    ).where(F.col("probe_id") != F.col("site_id"))
+    w = F.lit(1.0) / (F.col("dist2") + F.lit(_IDW_EPS))
+    return (
+        pairs.groupBy("probe_id")
+        .agg(
+            F.count("*").cast("int").alias("n_sites"),
+            F.round(F.sum(w * F.col("value")) / F.sum(w), 6).alias("idw_value"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+Q68_SQL = f"""
+WITH pts AS ({{PTS}}),
+sites AS (
+  SELECT p.event_id AS site_id, p.lat, p.lng, e.value
+  FROM pts p JOIN events e USING (event_id)
+),
+probes AS (
+  SELECT event_id AS probe_id, lat, lng FROM pts
+  WHERE event_id % {_IDW_PROBE_MOD} = 0
+),
+pairs AS (
+  SELECT a.probe_id, b.site_id, {{D2}} AS dist2, b.value
+  FROM probes a CROSS JOIN sites b
+  WHERE {{D2}} <= {_IDW_R * _IDW_R!r} AND a.probe_id <> b.site_id
+)
+SELECT probe_id,
+       CAST(COUNT(*) AS INTEGER) AS n_sites,
+       ROUND(SUM(value / (dist2 + {_IDW_EPS!r}))
+             / SUM(1.0 / (dist2 + {_IDW_EPS!r})), 6) AS idw_value
+FROM pairs
+GROUP BY probe_id
+ORDER BY probe_id
+"""
+
+
 GEO_QUERIES = {
+    "q68_idw_interpolation": (
+        q68_idw_interpolation,
+        Q68_SQL.replace("{PTS}", PTS_SQL).replace("{D2}", _PP_D2_SQL),
+    ),
     "q67_clip_conservation": (q67_clip_conservation, _q67_sql()),
     "q66_focal_tile_stats": (q66_focal_tile_stats, _q66_sql()),
     "q65_zone_transitions": (q65_zone_transitions, Q65_SQL),
