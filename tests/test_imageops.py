@@ -129,3 +129,56 @@ def test_resize_images_mixed_failures(spark):
     assert not bool(r.loc["good"]["decode_failed"])
     lat, lng, pix = decode_image(bytes(r.loc["good"]["bytes"]))
     assert pix.shape == (8, 8, 3) and abs(lat - 1.5) < 1e-6
+
+
+def _ahash_scalar(pix: np.ndarray) -> list:
+    """Per-image aHash reference: decode -> 8x8 NN gather -> integer luma ->
+    strict above-mean bits -> four 16-bit bands."""
+    h, w = pix.shape[0], pix.shape[1]
+    g = pix.astype(np.int64)[
+        np.ix_((np.arange(8) * h // 8).clip(0, h - 1),
+               (np.arange(8) * w // 8).clip(0, w - 1))
+    ]
+    luma = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+    bits = (64 * luma > luma.sum()).astype(np.int64).ravel()
+    return [
+        int((bits[b * 16 : (b + 1) * 16] * (1 << np.arange(16))).sum())
+        for b in range(4)
+    ]
+
+
+def test_image_ahash_equals_decode_loop(spark, imgs):
+    """The grouped-gather aHash must equal the per-image decode reference
+    across all three formats (raw/rle passthrough, qnt dequantize)."""
+    from tzspark.imageops import image_ahash
+
+    a = image_ahash(imgs).toPandas().set_index("image_id").sort_index()
+    rows = imgs.select("image_id", "bytes", "fmt").toPandas()
+    assert len(a) == N
+    n_qnt = 0
+    for _, row in rows.iterrows():
+        _, _, pix = decode_image(bytes(row["bytes"]))
+        if row["fmt"] == "qnt":
+            pix = (4 * (pix.astype(np.int64) // 4) + 2).astype(np.uint8)
+            n_qnt += 1
+        want = _ahash_scalar(pix)
+        got = [int(a.loc[row["image_id"]][f"b{b}"]) for b in range(4)]
+        assert got == want, row["image_id"]
+    assert n_qnt > 0  # the lossy decode path was exercised
+
+
+def test_image_ahash_mixed_failures(spark):
+    """Undecodable payloads yield null bands; good rows in the same batch
+    still hash correctly."""
+    good, _, _ = encode_image(5, 1.5, 2.5, 6, 4, "rle")
+    rows = [
+        ("bad", bytearray(b"XXXXgarbage_not_magic"), 0, 0, "raw", "c", 0),
+        ("good", bytearray(good), 6, 4, "rle", "c", 0),
+    ]
+    df = spark.createDataFrame(rows, IMAGES_SCHEMA)
+    from tzspark.imageops import image_ahash
+
+    a = image_ahash(df).toPandas().set_index("image_id")
+    assert a.loc["bad"][["b0", "b1", "b2", "b3"]].isna().all()
+    _, _, pix = decode_image(bytes(good))
+    assert [int(a.loc["good"][f"b{b}"]) for b in range(4)] == _ahash_scalar(pix)

@@ -614,6 +614,108 @@ def tile_rollup_view(onepass: DataFrame) -> DataFrame:
     )
 
 
+_ZONAL_SCHEMA = T.StructType(
+    [
+        T.StructField("zone_id", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("n_knn", T.LongType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def zonal_channel_rollup(
+    images: DataFrame, idx_bcast, zone_dim: DataFrame
+) -> DataFrame:
+    """Raster ZONAL statistics: per-polygon aggregates of the decoded pixel
+    content, fused into one scan + one Arrow crossing — the vector-zone
+    analog of tile_rollup_fused (which keys by raster tile).
+
+    Each batch resolves its images to zones (compiled-cover probe + kNN
+    fallback, same kernels as lookup_udf) AND folds their decoded pixels
+    into EXACT int64 channel sums (batch_image_stats — no decode loop), so
+    the shuffle carries only ~|zones| partial rows per batch and every
+    aggregate is integer-exact: summation order can never perturb the
+    result, which is what lets a DuckDB oracle hash-match the full rollup.
+    Means come out as one int/int division per zone row at the end."""
+    import pyarrow as pa
+
+    from .imagecodec import batch_image_stats
+
+    def _fused(batches):
+        idx: CompiledIndex = idx_bcast.value
+        for batch in batches:
+            data, offsets, valid = _arrow_binary_view(batch.column(0))
+            st = batch_image_stats(data, offsets)
+            lat, lng = st["lat"], st["lng"]
+            ok = st["ok"] & (
+                (lat >= -90.0) & (lat <= 90.0) & (lng >= -180.0) & (lng <= 180.0)
+            )
+            if valid is not None:
+                ok &= valid
+            okw = np.flatnonzero(ok)
+            if okw.size == 0:
+                continue
+            zid = resolve_points(idx, lat[okw], lng[okw])
+            un = zid == -1
+            if un.any():
+                zid[un] = knn_fallback(idx, lat[okw[un]], lng[okw[un]])
+            uz, inv = np.unique(zid, return_inverse=True)
+            m = len(uz)
+            ch = st["ch_sum"][okw].astype(np.float64)  # < 2^53, exact
+            npx = st["n_pixels"][okw].astype(np.float64)
+            out = {
+                "zone_id": uz.astype(np.int64),
+                "n": np.bincount(inv, minlength=m).astype(np.int64),
+                "n_knn": np.bincount(
+                    inv, weights=un.astype(np.float64), minlength=m
+                ).astype(np.int64),
+                "n_pixels": np.bincount(inv, weights=npx, minlength=m).astype(
+                    np.int64
+                ),
+                "sum_r": np.bincount(inv, weights=ch[:, 0], minlength=m).astype(
+                    np.int64
+                ),
+                "sum_g": np.bincount(inv, weights=ch[:, 1], minlength=m).astype(
+                    np.int64
+                ),
+                "sum_b": np.bincount(inv, weights=ch[:, 2], minlength=m).astype(
+                    np.int64
+                ),
+            }
+            yield pa.RecordBatch.from_pydict(out)
+
+    partials = images.select("bytes").mapInArrow(_fused, _ZONAL_SCHEMA)
+    agg = partials.groupBy("zone_id").agg(
+        F.sum("n").alias("n_images"),
+        F.sum("n_knn").alias("n_via_knn"),
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("sum_r").alias("sum_r"),
+        F.sum("sum_g").alias("sum_g"),
+        F.sum("sum_b").alias("sum_b"),
+    )
+    return (
+        agg.select(F.col("zone_id").cast("int").alias("zone_id"), *agg.columns[1:])
+        .join(F.broadcast(zone_dim.select("zone_id", "tzid")), "zone_id", "left")
+        .select(
+            "zone_id",
+            "tzid",
+            "n_images",
+            "n_via_knn",
+            "n_pixels",
+            "sum_r",
+            "sum_g",
+            "sum_b",
+            (F.col("sum_r").cast("double") / F.col("n_pixels")).alias("mean_r"),
+            (F.col("sum_g").cast("double") / F.col("n_pixels")).alias("mean_g"),
+            (F.col("sum_b").cast("double") / F.col("n_pixels")).alias("mean_b"),
+        )
+    )
+
+
 def salted_tile_counts(assigned: DataFrame, n_salt: int = 8) -> DataFrame:
     """Two-phase salted aggregation for skewed cells: partial count per
     (cell_id, salt) then final per cell_id. Equivalent to a plain groupBy

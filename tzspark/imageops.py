@@ -270,6 +270,89 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.select("image_id", "bytes").mapInArrow(_resize, RESIZED_SCHEMA)
 
 
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("b0", T.LongType(), True),
+        T.StructField("b1", T.LongType(), True),
+        T.StructField("b2", T.LongType(), True),
+        T.StructField("b3", T.LongType(), True),
+    ]
+)
+
+
+def image_ahash(images: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of every image, as four 16-bit bands.
+
+    The classic aHash: downsample the DECODED image to 8x8 (the same
+    nearest-neighbor gather as resize_images — only 64*3 source bytes are
+    read per image, straight from the packed payload stream), take the
+    integer luma 299r+587g+114b per sampled pixel, and set bit k iff that
+    pixel's luma is strictly above the 64-pixel mean (compared exactly as
+    64*luma_k > sum(luma), so no float division can flip a bit). The 64
+    bits are packed row-major into four int64 columns of 16 bits each —
+    exactly the band layout the LSH near-dup join wants (and safely inside
+    int64, so no engine disagrees about bit-63 overflow).
+
+    One mapInArrow stage, all-numpy per (h, w)-shape group; zero per-image
+    Python. Undecodable payloads yield null bands.
+    """
+    import pyarrow as pa
+
+    from .engine import _arrow_binary_view
+    from .imagecodec import batch_image_stats
+
+    pow2 = 1 << np.arange(16, dtype=np.int64)
+
+    def _ahash(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            st = batch_image_stats(data, offs, keep_decoded=True)
+            ok = st["ok"] if valid is None else st["ok"] & valid
+            n = len(ok)
+            bad = ~ok
+            bands = np.zeros((n, 4), np.int64)
+
+            ps = offs[:-1] + HEADER_LEN
+            decoded, dstart, rle_rows, good = st["rle"]
+            rle_start = np.full(n, -1, np.int64)
+            rle_start[rle_rows[good]] = dstart[:-1][good]
+            fmtc = st["fmt_code"]
+            h64, w64 = st["h"], st["w"]
+            okw = np.flatnonzero(ok)
+            is_rle_row = np.zeros(n, bool)
+            is_rle_row[rle_rows] = True
+            for hh, ww in set(zip(h64[okw].tolist(), w64[okw].tolist())):
+                sel = okw[(h64[okw] == hh) & (w64[okw] == ww)]
+                yi = (np.arange(8) * hh // 8).clip(0, hh - 1)
+                xi = (np.arange(8) * ww // 8).clip(0, ww - 1)
+                pos = (3 * (yi[:, None] * ww + xi[None, :])).reshape(-1)
+                pos3 = (pos[:, None] + np.arange(3)).reshape(-1)
+                for rows, src, start, qnt in (
+                    (sel[fmtc[sel] == FMT_CODES["raw"]], data, ps, False),
+                    (sel[fmtc[sel] == FMT_CODES["qnt"]], data, ps, True),
+                    (sel[is_rle_row[sel]], decoded, rle_start, False),
+                ):
+                    if rows.shape[0] == 0:
+                        continue
+                    g = src[start[rows][:, None] + pos3[None, :]].astype(np.int64)
+                    if qnt:
+                        g = (g << 2) + 2
+                    g = g.reshape(-1, 64, 3)
+                    luma = 299 * g[:, :, 0] + 587 * g[:, :, 1] + 114 * g[:, :, 2]
+                    bits = 64 * luma > luma.sum(axis=1, keepdims=True)
+                    for b in range(4):
+                        bands[rows, b] = bits[:, b * 16 : (b + 1) * 16] @ pow2
+
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(bands[:, b], mask=bad) for b in range(4)],
+                names=[f.name for f in AHASH_SCHEMA.fields],
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(_ahash, AHASH_SCHEMA)
+
+
 def _encode_raw(lat: float, lng: float, pix: np.ndarray) -> bytes:
     """Container-encode arbitrary pixels (raw fmt) with a GPS header."""
     from .imagecodec import _HEADER_DTYPE, MAGIC

@@ -709,6 +709,164 @@ ORDER BY snapshot_id
 """
 
 
+_AHASH_HAM_MAX = 3
+
+
+def q69_image_ahash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection over images (aHash + LSH).
+
+    Stage 1 computes the 64-bit average-hash in ONE Arrow pass
+    (imageops.image_ahash — the image analog of q16's SimHash signature).
+    Stage 2 collapses EXACT hash duplicates with a plain hash groupBy; at
+    10^12 images this collapse is mandatory before any pair generation —
+    pair-listing raw rows would square the collision groups (this table
+    already carries 489-image groups at sf0.01). Stage 3 lists
+    near-duplicate pairs among the DISTINCT hashes via banded LSH: each
+    16-bit band is an equi-join key (pigeonhole: hamming <= 3 across 4
+    bands forces at least one identical band, so recall is EXACT, not
+    probabilistic), the precise hamming filter is bit_count(xor), and
+    multi-band matches collapse with one distinct over identical rows.
+    The DuckDB oracle recomputes the hash from the pixel-synthesis
+    arithmetic (integer luma, exact 64*luma > sum compare) and the pairs
+    by brute-force cross join over the distinct hashes."""
+    from .imageops import image_ahash
+
+    bcols = ["b0", "b1", "b2", "b3"]
+    ah = image_ahash(_images(spark, sf_dir).select("image_id", "bytes"))
+    cl = ah.groupBy(*bcols).agg(
+        F.min("image_id").alias("rep_id"), F.count("*").alias("n_members")
+    )
+    bstruct = F.array(
+        *[
+            F.struct(F.lit(k).alias("band"), F.col(c).alias("val"))
+            for k, c in enumerate(bcols)
+        ]
+    )
+    e = cl.select("rep_id", "n_members", *bcols, F.explode(bstruct).alias("bk")).select(
+        "rep_id",
+        "n_members",
+        *bcols,
+        F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
+    )
+    a = e.select(
+        F.col("rep_id").alias("rep_a"),
+        F.col("n_members").alias("n_a"),
+        *[F.col(c).alias(f"{c}_a") for c in bcols],
+        "band",
+        "val",
+    )
+    b = e.select(
+        F.col("rep_id").alias("rep_b"),
+        F.col("n_members").alias("n_b"),
+        *[F.col(c).alias(f"{c}_b") for c in bcols],
+        "band",
+        "val",
+    )
+    ham = (
+        sum(F.expr(f"bit_count({c}_a ^ {c}_b)") for c in bcols)
+        .cast("int")
+        .alias("hamming")
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b", ham, "n_a", "n_b")
+        .where(F.col("hamming") <= _AHASH_HAM_MAX)
+        .distinct()
+        .orderBy("rep_a", "rep_b")
+    )
+
+
+def _q69_sql() -> str:
+    gather = f"""
+  SELECT d.i, d.w, d.h, d.fmt, d.phase, oy.v AS oy, ox.v AS ox,
+         (oy.v * d.h) // 8 AS y, (ox.v * d.w) // 8 AS x
+    FROM ({_DIMS_SQL}) d
+    JOIN (SELECT unnest(generate_series(0, 7)) AS v) oy ON TRUE
+    JOIN (SELECT unnest(generate_series(0, 7)) AS v) ox ON TRUE"""
+    bandsel = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN k // 16 = {bx} THEN bit * (CAST(1 AS BIGINT)"
+        f" << (k % 16)) ELSE 0 END) AS BIGINT) AS b{bx}"
+        for bx in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{bx}, b.b{bx}))" for bx in range(4))
+    return f"""
+WITH lu AS (
+  SELECT i, oy * 8 + ox AS k,
+         CAST(299 * r + 587 * g + 114 * b AS BIGINT) AS luma
+  FROM ({_decoded_px_sql(gather)})
+),
+tot AS (SELECT i, SUM(luma) AS total FROM lu GROUP BY i),
+bits AS (
+  SELECT lu.i, lu.k,
+         CASE WHEN 64 * lu.luma > tot.total THEN 1 ELSE 0 END AS bit
+  FROM lu JOIN tot USING (i)
+),
+hashes AS (
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+         {bandsel}
+  FROM bits GROUP BY i
+),
+cl AS (
+  SELECT b0, b1, b2, b3, MIN(image_id) AS rep_id, COUNT(*) AS n_members
+  FROM hashes GROUP BY 1, 2, 3, 4
+)
+SELECT a.rep_id AS rep_a, b.rep_id AS rep_b,
+       CAST({ham} AS INTEGER) AS hamming,
+       a.n_members AS n_a, b.n_members AS n_b
+FROM cl a JOIN cl b ON a.rep_id < b.rep_id
+WHERE {ham} <= {_AHASH_HAM_MAX}
+ORDER BY rep_a, rep_b
+"""
+
+
+def q71_zonal_image_stats(spark, sf_dir):
+    """Zonal statistics — the geospatial join and the payload path fused in
+    ONE operator: every image resolves to its timezone polygon while the
+    same Arrow batch folds its DECODED pixels into exact int64 channel
+    sums (engine.zonal_channel_rollup), and one tiny per-zone agg yields
+    zone-level image content statistics. Scale shape: one scan, one
+    JVM<->Python crossing, shuffle carries ~|zones| rows per batch. The
+    oracle composes the q41 per-image zone assignment with the
+    pixel-synthesis channel sums — integer-exact all the way, so the
+    cross-engine hash match is exact, not approximate."""
+    from .engine import zonal_channel_rollup, zone_dim_df
+    from .queries_geo import box_zones
+
+    from .cells import compile_cover
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    idx_b = spark.sparkContext.broadcast(idx)
+    dim = zone_dim_df(spark, zones)
+    return zonal_channel_rollup(_images(spark, sf_dir), idx_b, dim).orderBy(
+        "zone_id"
+    )
+
+
+def _q71_sql() -> str:
+    return f"""
+WITH a AS ({Q41_SQL}),
+s AS (SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+             npx, sum_r, sum_g, sum_b
+      FROM ({PIXSUMS_SQL}))
+SELECT a.zone_id, a.tzid,
+       COUNT(*) AS n_images,
+       CAST(SUM(CASE WHEN a.via_knn THEN 1 ELSE 0 END) AS BIGINT) AS n_via_knn,
+       CAST(SUM(s.npx) AS BIGINT) AS n_pixels,
+       CAST(SUM(s.sum_r) AS BIGINT) AS sum_r,
+       CAST(SUM(s.sum_g) AS BIGINT) AS sum_g,
+       CAST(SUM(s.sum_b) AS BIGINT) AS sum_b,
+       CAST(SUM(s.sum_r) AS DOUBLE) / CAST(SUM(s.npx) AS DOUBLE) AS mean_r,
+       CAST(SUM(s.sum_g) AS DOUBLE) / CAST(SUM(s.npx) AS DOUBLE) AS mean_g,
+       CAST(SUM(s.sum_b) AS DOUBLE) / CAST(SUM(s.npx) AS DOUBLE) AS mean_b
+FROM a JOIN s USING (image_id)
+GROUP BY a.zone_id, a.tzid
+ORDER BY a.zone_id
+"""
+
+
 EXTRA_QUERIES = {
     "q24_extract_gps": q24_extract_gps,
     "q41_full_engine_boxes": q41_full_engine_boxes,
@@ -720,8 +878,12 @@ EXTRA_QUERIES = {
     "q30_resize": q30_resize,
     "q31_stream_assign": q31_stream_assign,
     "q63_snapshot_time_travel": q63_snapshot_time_travel,
+    "q69_image_ahash_neardup": q69_image_ahash_neardup,
+    "q71_zonal_image_stats": q71_zonal_image_stats,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
+EXTRA_ORACLES["q69_image_ahash_neardup"] = _q69_sql()
+EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.
 EXTRA_ORACLES["q27_full_engine_synthetic"] = _q27_sql()

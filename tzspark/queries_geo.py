@@ -1557,7 +1557,89 @@ ORDER BY probe_id
 """
 
 
+_PYR_RES = 8
+
+
+def q70_tile_pyramid(spark, sf_dir):
+    """Multi-resolution tile-pyramid rollup (the map-tile pre-aggregation).
+
+    Points shuffle ONCE — into their finest-resolution (res 8) cells with
+    map-side-combinable count/sum partials. Every coarser level then
+    aggregates the PREVIOUS LEVEL's output (pure integer parent-cell
+    arithmetic: row>>1, col>>1), so levels 7..0 together touch at most
+    ~4/3 of the base-level tile count — the standard pyramid build that
+    serves any zoom level without rescanning points. At 100 TB the base
+    agg is the only point-scale job; the rollup chain is kilobytes.
+    All-integer outputs, so the oracle match is exact."""
+    p = pts_df(spark, sf_dir, with_user=True)
+    cur = (
+        p.withColumn("cell", cell_id_col(F.col("lat"), F.col("lng"), _PYR_RES))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_events"), F.sum("user_id").alias("sum_user"))
+    )
+    out = cur.select(
+        F.lit(_PYR_RES).cast("int").alias("res"),
+        F.col("cell").alias("cell_id"),
+        "n_events",
+        "sum_user",
+    )
+    for r in range(_PYR_RES - 1, -1, -1):
+        n_child = 1 << (r + 1)
+        parent = (F.expr(f"cell DIV {n_child}") / 2).cast("long") * (1 << r) + (
+            (F.col("cell") % n_child) / 2
+        ).cast("long")
+        cur = (
+            cur.select(parent.alias("cell"), "n_events", "sum_user")
+            .groupBy("cell")
+            .agg(F.sum("n_events").alias("n_events"), F.sum("sum_user").alias("sum_user"))
+        )
+        out = out.unionByName(
+            cur.select(
+                F.lit(r).cast("int").alias("res"),
+                F.col("cell").alias("cell_id"),
+                "n_events",
+                "sum_user",
+            )
+        )
+    return out.orderBy("res", "cell_id")
+
+
+def _q70_sql() -> str:
+    cell = cell_id_sql("lat", "lng", _PYR_RES)
+    ctes = [
+        f"l{_PYR_RES} AS (SELECT {cell} AS cell, COUNT(*) AS n_events,"
+        f" CAST(SUM(user_id) AS BIGINT) AS sum_user FROM pts GROUP BY 1)"
+    ]
+    for r in range(_PYR_RES - 1, -1, -1):
+        n_child = 1 << (r + 1)
+        parent = f"((cell // {n_child}) // 2) * {1 << r} + ((cell % {n_child}) // 2)"
+        ctes.append(
+            f"l{r} AS (SELECT {parent} AS cell,"
+            f" CAST(SUM(n_events) AS BIGINT) AS n_events,"
+            f" CAST(SUM(sum_user) AS BIGINT) AS sum_user FROM l{r + 1} GROUP BY 1)"
+        )
+    levels = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS res, cell AS cell_id, n_events,"
+        f" sum_user FROM l{r}"
+        for r in range(_PYR_RES, -1, -1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH pts AS (
+SELECT event_id, user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+{joined}
+SELECT * FROM (
+{levels}
+) ORDER BY res, cell_id
+"""
+
+
 GEO_QUERIES = {
+    "q70_tile_pyramid": (q70_tile_pyramid, _q70_sql()),
     "q68_idw_interpolation": (
         q68_idw_interpolation,
         Q68_SQL.replace("{PTS}", PTS_SQL).replace("{D2}", _PP_D2_SQL),
