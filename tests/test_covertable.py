@@ -285,3 +285,63 @@ def test_point_pairs_within_equals_bruteforce(spark):
         assert set(got) == set(want), (radius, res)
         for k, (gd, gv) in got.items():
             assert abs(gd - want[k][0]) < 1e-12 and gv == want[k][1]
+
+
+def test_colocation_pairs_equals_bruteforce(spark):
+    """Spatiotemporal co-location: the (cell, time-bucket)-blocked self-join
+    must return exactly the brute-force pair set — including pairs that
+    straddle a time-bucket boundary (t and t+W in adjacent buckets), pairs
+    exactly W apart (inclusive edge), same-user pairs excluded, and radii
+    larger than a cell."""
+    import datetime as dt
+
+    from tzspark.covertable import colocation_pairs
+
+    rng = np.random.default_rng(31)
+    n = 200
+    W = 600  # seconds
+    lat = rng.uniform(-60, 60, n).astype(np.float32)
+    lng = rng.uniform(-170, 170, n).astype(np.float32)
+    # cluster half the points so spatial matches exist
+    lat[100:] = lat[:100] + rng.uniform(-1, 1, 100).astype(np.float32)
+    lng[100:] = lng[:100] + rng.uniform(-1, 1, 100).astype(np.float32)
+    users = rng.integers(0, 12, n)
+    t0 = dt.datetime(2024, 1, 1)
+    # seconds stream crossing many W-buckets; plant exact-W and boundary pairs
+    secs = np.sort(rng.integers(0, 6 * W, n))
+    secs[3] = W - 1
+    secs[4] = W + 1          # straddles the first bucket edge
+    secs[10] = 2 * W
+    secs[11] = 3 * W         # exactly W apart, inclusive
+    users[3], users[4], users[10], users[11] = 1, 2, 3, 4
+    lat[4], lng[4] = lat[3], lng[3]
+    lat[11], lng[11] = lat[10] + np.float32(0.1), lng[10]
+
+    rows = [
+        (int(i), int(users[i]), t0 + dt.timedelta(seconds=int(secs[i])),
+         float(lat[i]), float(lng[i]))
+        for i in range(n)
+    ]
+    p = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, lat double, lng double"
+    )
+    la, lg = lat.astype(np.float64), lng.astype(np.float64)
+    d2 = (la[:, None] - la[None]) ** 2 + (lg[:, None] - lg[None]) ** 2
+    dtm = np.abs(secs[:, None] - secs[None])
+
+    for radius, res in [(1.5, 4), (1.5, 7), (30.0, 3)]:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in colocation_pairs(
+                p, "event_id", "user_id", "ts", radius=radius,
+                window_s=W, res=res,
+            ).collect()
+        }
+        ii, jj = np.nonzero(
+            (d2 <= radius * radius) & (dtm <= W)
+            & (users[:, None] != users[None])
+        )
+        want = {(int(i), int(j)) for i, j in zip(ii, jj) if i < j}
+        assert got == want, (radius, res, len(got), len(want))
+        if radius >= 1.5:
+            assert (3, 4) in want and (10, 11) in want  # planted cases live

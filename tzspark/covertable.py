@@ -847,6 +847,91 @@ def point_pairs_within(
     )
 
 
+def colocation_pairs(
+    events: DataFrame,
+    key_col: str,
+    user_col: str,
+    ts_col: str,
+    radius: float,
+    window_s: int,
+    res: int = 4,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Spatiotemporal co-location self-join: every unordered pair of events
+    from DIFFERENT users within ``radius`` degrees AND ``window_s`` seconds
+    of each other (the contact-tracing / co-occurrence operator).
+
+    Blocking extends proximity_self_join's asymmetric scheme to 3D keys
+    (cell, time-bucket): the LEFT side enumerates every grid cell its
+    [lat+-r, lng+-r] rectangle overlaps x the <= 3 ``window_s``-wide time
+    buckets its [t-T, t+T] interval overlaps; the RIGHT side maps each
+    event to its single (cell, bucket). If a pair qualifies, b's one key
+    is among a's enumerated keys (complete) and arises exactly once (the
+    right side contributes one key per event) — no dedup pass. Candidates
+    are bounded by events-per-(cell,bucket) x rectangle-cells x 3, never
+    |N|^2; hot (cell,bucket) keys are ordinary join skew (AQE-splittable).
+    All time arithmetic is integer microseconds, the distance predicate the
+    exact f64-from-f32 Euclidean — both engines agree bit-for-bit.
+
+    Returns (id_a, id_b, user_a, user_b, dist2:double, dt_us:long),
+    id_a < id_b.
+    """
+    n = 1 << res
+    r = float(radius)
+    w_us = int(window_s) * 1_000_000
+
+    la = F.col(lat_col).cast("float").cast("double")
+    lg = F.col(lng_col).cast("float").cast("double")
+    # NTZ-safe epoch microseconds (unix_micros rejects TIMESTAMP_NTZ)
+    epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    r0, r1, c0, c1 = _grid_rowcol_range(la - r, la + r, lg - r, lg + r, res)
+    a = (
+        events.select(
+            F.col(key_col).alias("id_a"), F.col(user_col).alias("user_a"),
+            la.alias("_lat_a"), lg.alias("_lng_a"), tus.alias("_t_a"),
+            r0.alias("_r0"), r1.alias("_r1"), c0.alias("_c0"), c1.alias("_c1"),
+        )
+        .withColumn("_row", F.explode(F.sequence("_r0", "_r1")))
+        .withColumn("_col", F.explode(F.sequence("_c0", "_c1")))
+        .withColumn(
+            "_tb",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(_t_a - {w_us}) DIV {w_us}"),
+                    F.expr(f"(_t_a + {w_us}) DIV {w_us}"),
+                )
+            ),
+        )
+        .select(
+            "id_a", "user_a", "_lat_a", "_lng_a", "_t_a", "_tb",
+            (F.col("_row") * n + F.col("_col")).alias("_cell"),
+        )
+    )
+    b = events.select(
+        F.col(key_col).alias("id_b"), F.col(user_col).alias("user_b"),
+        la.alias("_lat_b"), lg.alias("_lng_b"), tus.alias("_t_b"),
+        (tus - (tus % w_us)).cast("long").alias("_tbw"),
+        cell_id_col(F.col(lat_col), F.col(lng_col), res).alias("_cell"),
+    ).withColumn("_tb", F.expr(f"_tbw DIV {w_us}")).drop("_tbw")
+    j = (
+        a.join(b.hint("shuffle_hash"), ["_cell", "_tb"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("user_a") != F.col("user_b"))
+        )
+    )
+    dlat = F.col("_lat_a") - F.col("_lat_b")
+    dlng = F.col("_lng_a") - F.col("_lng_b")
+    return (
+        j.withColumn("dist2", dlat * dlat + dlng * dlng)
+        .withColumn("dt_us", F.abs(F.col("_t_a") - F.col("_t_b")))
+        .where((F.col("dist2") <= r * r) & (F.col("dt_us") <= w_us))
+        .select("id_a", "id_b", "user_a", "user_b", "dist2", "dt_us")
+    )
+
+
 def geo_dbscan(
     points: DataFrame,
     key_col: str,

@@ -1638,7 +1638,56 @@ SELECT * FROM (
 """
 
 
+_COLOC_R = 14.0
+_COLOC_T = 3600  # seconds
+
+
+def q72_colocation(spark, sf_dir):
+    """Spatiotemporal co-location detection (contact tracing / co-occurrence):
+    pairs of events from DIFFERENT users within _COLOC_R degrees AND
+    _COLOC_T seconds. covertable.colocation_pairs blocks on (grid cell,
+    time bucket) with the asymmetric rectangle-x-single-key scheme, so
+    every qualifying pair arises in exactly one composite key — complete,
+    duplicate-free, never |N|^2 — and the exact predicates (f64-from-f32
+    Euclidean, integer-microsecond window) run identically in the DuckDB
+    brute-force cross-join oracle."""
+    from .covertable import colocation_pairs
+
+    p = pts_df(spark, sf_dir, with_user=True)
+    return (
+        colocation_pairs(
+            p, "event_id", "user_id", "ts", radius=_COLOC_R,
+            window_s=_COLOC_T, res=4,
+        )
+        .select(
+            "id_a", "id_b", "user_a", "user_b",
+            F.round("dist2", 6).alias("dist2"), "dt_us",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q72_SQL = f"""
+WITH pts AS (
+SELECT event_id, user_id, epoch_us(ts) AS tus,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       a.user_id AS user_a, b.user_id AS user_b,
+       ROUND({_PP_D2_SQL}, 6) AS dist2,
+       abs(a.tus - b.tus) AS dt_us
+FROM pts a JOIN pts b ON a.event_id < b.event_id
+WHERE a.user_id <> b.user_id
+  AND abs(a.tus - b.tus) <= CAST({_COLOC_T} AS BIGINT) * 1000000
+  AND {_PP_D2_SQL} <= {_COLOC_R * _COLOC_R!r}
+ORDER BY id_a, id_b
+"""
+
+
 GEO_QUERIES = {
+    "q72_colocation": (q72_colocation, Q72_SQL),
     "q70_tile_pyramid": (q70_tile_pyramid, _q70_sql()),
     "q68_idw_interpolation": (
         q68_idw_interpolation,
