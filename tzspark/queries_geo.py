@@ -1686,7 +1686,89 @@ ORDER BY id_a, id_b
 """
 
 
+_EARTH_R_M = 6371008.8  # IUGG mean earth radius
+_DEG2RAD = 0.017453292519943295  # math.pi / 180, Python-folded into both engines
+
+
+def q73_haversine_displacement(spark, sf_dir):
+    """q58's trajectory rollup upgraded to GEODESIC meters: step distance is
+    the great-circle haversine (2R*asin(sqrt(a))) between consecutive
+    events per user — all JVM-side column arithmetic, same one-Exchange
+    window shape as q58. Float discipline: deg->rad constant Python-folded
+    to an identical literal in both engines, a clamped to [0,1] before
+    asin, and the meter outputs rounded to 0.1 m — JVM vs libm trig agrees
+    to 1 ulp (~1e-9 m here), so decimeter rounding leaves ~7 orders of
+    magnitude of safety margin."""
+    from pyspark.sql import Window as W
+
+    p = pts_df(spark, sf_dir, with_user=True)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    phi = (F.col("lat") * _DEG2RAD).alias("phi")
+    lam = (F.col("lng") * _DEG2RAD).alias("lam")
+    d = p.select("user_id", "ts", "event_id", phi, lam).select(
+        "user_id",
+        "phi",
+        (F.col("phi") - F.lag("phi").over(w)).alias("dphi"),
+        F.lag("phi").over(w).alias("phi0"),
+        (F.col("lam") - F.lag("lam").over(w)).alias("dlam"),
+    )
+    sin_half_dphi = F.sin(F.col("dphi") / 2)
+    sin_half_dlam = F.sin(F.col("dlam") / 2)
+    a = F.least(
+        sin_half_dphi * sin_half_dphi
+        + F.cos(F.col("phi")) * F.cos(F.col("phi0")) * sin_half_dlam * sin_half_dlam,
+        F.lit(1.0),
+    )
+    step = (F.asin(F.sqrt(a)) * (2 * _EARTH_R_M)).alias("step_m")
+    return (
+        d.select("user_id", step)
+        .groupBy("user_id")
+        .agg(
+            F.count("step_m").cast("int").alias("n_steps"),
+            F.round(F.coalesce(F.sum("step_m"), F.lit(0.0)), 1).alias("total_m"),
+            F.round(F.coalesce(F.max("step_m"), F.lit(0.0)), 1).alias("max_step_m"),
+        )
+    )
+
+
+Q73_SQL = f"""
+WITH pts AS (
+SELECT event_id, ts, user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+rad AS (
+  SELECT event_id, ts, user_id,
+         lat * {_DEG2RAD!r} AS phi, lng * {_DEG2RAD!r} AS lam
+  FROM pts
+),
+st AS (
+  SELECT user_id, phi,
+         phi - LAG(phi) OVER w AS dphi,
+         LAG(phi) OVER w AS phi0,
+         lam - LAG(lam) OVER w AS dlam
+  FROM rad
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+stepped AS (
+  SELECT user_id,
+         asin(sqrt(LEAST(sin(dphi / 2) * sin(dphi / 2)
+                         + cos(phi) * cos(phi0) * sin(dlam / 2) * sin(dlam / 2),
+                         1.0))) * {2 * _EARTH_R_M!r} AS step_m
+  FROM st
+)
+SELECT user_id,
+       CAST(COUNT(step_m) AS INTEGER) AS n_steps,
+       ROUND(COALESCE(SUM(step_m), 0.0), 1) AS total_m,
+       ROUND(COALESCE(MAX(step_m), 0.0), 1) AS max_step_m
+FROM stepped
+GROUP BY user_id
+"""
+
+
 GEO_QUERIES = {
+    "q73_haversine_displacement": (q73_haversine_displacement, Q73_SQL),
     "q72_colocation": (q72_colocation, Q72_SQL),
     "q70_tile_pyramid": (q70_tile_pyramid, _q70_sql()),
     "q68_idw_interpolation": (

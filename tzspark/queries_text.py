@@ -2020,7 +2020,39 @@ def pq_adc_topk_arrow(codes_df, cent, probes, k=10):
     )
 
 
+# --- weighted (probability-proportional-to-size) deterministic sampling -----
+
+_WPS_SCALE = 1000  # P(include) = n_chars / _WPS_SCALE (no doc reaches 1.0 here)
+_WPS_C = (1 << 60) // _WPS_SCALE
+
+
+def q74_weighted_sample(spark, sf_dir):
+    """Weighted deterministic sampling: include a doc with probability
+    proportional to its size (pi-ps / importance sampling — the training-
+    mix primitive "sample long documents more often"). Membership is a
+    pure per-row integer compare: the top 60 bits of md5(doc_id), read as
+    an integer, against n_chars * (2^60 div SCALE) — so like q49 it needs
+    no RNG state, no shuffle, no driver coordination, and is stable under
+    retry/resume/repartitioning; unlike q49 the threshold is per-ROW
+    (weight), not per-stratum. All-integer arithmetic, exact in both
+    engines."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    u60 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return d.where(u60 < F.col("n_chars") * F.lit(_WPS_C))
+
+
+Q74_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < n_chars * {_WPS_C}
+"""
+
+
 TEXT_QUERIES = {
+    "q74_weighted_sample": (q74_weighted_sample, Q74_SQL),
     "q61_ivfpq_search": (q61_ivfpq_search, Q61_SQL),
     "q60_pq_adc_search": (q60_pq_adc_search, Q60_SQL),
     "q55_sq8_encode": (q55_sq8_encode, Q55_SQL),
