@@ -1767,7 +1767,158 @@ GROUP BY user_id
 """
 
 
+def q75_zone_dwell(spark, sf_dir):
+    """Zone dwell-time analytics (stay segments): each user's trajectory
+    splits into VISITS — maximal runs of consecutive events in the same
+    zone — rolled up to enter/exit times, event count, and dwell duration.
+    The visit id is the running sum of zone-change flags, computed in the
+    SAME ordered window (one user_id Exchange) that feeds the LAG; the
+    per-visit rollup reuses that partitioning, so the whole operator is
+    one shuffle + a narrow broadcast-cover probe. All outputs are exact
+    integers (epoch microseconds), so the oracle match is exact."""
+    from pyspark.sql import Window as W
+
+    from .engine import resolve_only_udf
+
+    zones = box_zones(spark, sf_dir)
+    bidx = spark.sparkContext.broadcast(compile_cover(zones, base_res=3, max_res=7))
+    p = pts_df(spark, sf_dir, with_user=True)
+    epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    a = p.withColumn(
+        "zone_id", resolve_only_udf(bidx)(F.col("lat"), F.col("lng"))
+    ).withColumn("tus", F.timestamp_diff("MICROSECOND", epoch, F.col("ts")))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("zone_id").over(w)
+    t = a.select(
+        "user_id",
+        "event_id",
+        "zone_id",
+        "tus",
+        "ts",
+        F.when(prev.isNull() | (prev != F.col("zone_id")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    v = t.withColumn("visit", F.sum("chg").over(w))
+    return (
+        v.groupBy("user_id", "visit")
+        .agg(
+            F.min("zone_id").cast("int").alias("zone_id"),
+            F.count("*").cast("int").alias("n_events"),
+            F.min("tus").alias("enter_us"),
+            F.max("tus").alias("exit_us"),
+            (F.max("tus") - F.min("tus")).alias("dwell_us"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("visit").cast("int").alias("visit"),
+            "zone_id",
+            "n_events",
+            "enter_us",
+            "exit_us",
+            "dwell_us",
+            "first_event_id",
+        )
+        .orderBy("user_id", "visit")
+    )
+
+
+Q75_SQL = f"""
+WITH pts AS (
+SELECT event_id, ts, user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+boxes AS ({{BOXES}}),
+az AS (
+  SELECT p.event_id, p.ts, p.user_id, epoch_us(p.ts) AS tus,
+         CAST(COALESCE(MIN(CASE WHEN {{CONTAIN}} THEN b.zone_id END), -1)
+              AS INTEGER) AS zone_id
+  FROM pts p CROSS JOIN boxes b
+  GROUP BY p.event_id, p.ts, p.user_id
+),
+tr AS (
+  SELECT *, CASE WHEN LAG(zone_id) OVER w IS NULL
+                   OR LAG(zone_id) OVER w <> zone_id THEN 1 ELSE 0 END AS chg
+  FROM az
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+vs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS visit
+  FROM tr
+)
+SELECT user_id, CAST(visit AS INTEGER) AS visit,
+       CAST(MIN(zone_id) AS INTEGER) AS zone_id,
+       CAST(COUNT(*) AS INTEGER) AS n_events,
+       MIN(tus) AS enter_us, MAX(tus) AS exit_us,
+       MAX(tus) - MIN(tus) AS dwell_us,
+       CAST(MIN(event_id) AS BIGINT) AS first_event_id
+FROM vs
+GROUP BY user_id, visit
+ORDER BY user_id, visit
+"""
+
+
+_TOPK_RES = 4
+_TOPK_K = 3
+
+
+def q76_tile_top_users(spark, sf_dir):
+    """Per-tile heavy hitters: the top-K users by event count in every
+    grid cell (rank ties broken by user_id — fully deterministic). Scale
+    shape: the (cell, user) pre-aggregation is map-side combinable and
+    collapses points to at most |cells| x |users| rows BEFORE the window;
+    the per-cell row_number then runs over that tiny table — the standard
+    two-phase top-k that never windows over raw points."""
+    from pyspark.sql import Window as W
+
+    p = pts_df(spark, sf_dir, with_user=True)
+    cu = (
+        p.withColumn("cell_id", cell_id_col(F.col("lat"), F.col("lng"), _TOPK_RES))
+        .groupBy("cell_id", "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = W.partitionBy("cell_id").orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        cu.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _TOPK_K)
+        .select("cell_id", "rank", "user_id", "n_events")
+        .orderBy("cell_id", "rank")
+    )
+
+
+def _q76_sql() -> str:
+    cell = cell_id_sql("lat", "lng", _TOPK_RES)
+    return f"""
+WITH pts AS (
+SELECT event_id, user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+cu AS (
+  SELECT {cell} AS cell_id, user_id, COUNT(*) AS n_events
+  FROM pts GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cell_id
+                 ORDER BY n_events DESC, user_id ASC) AS INTEGER) AS rank
+  FROM cu
+)
+SELECT cell_id, rank, user_id, n_events
+FROM rk WHERE rank <= {_TOPK_K}
+ORDER BY cell_id, rank
+"""
+
+
 GEO_QUERIES = {
+    "q76_tile_top_users": (q76_tile_top_users, _q76_sql()),
+    "q75_zone_dwell": (
+        q75_zone_dwell,
+        Q75_SQL.replace("{BOXES}", BOXES_SQL).replace("{CONTAIN}", _CONTAIN_F32),
+    ),
     "q73_haversine_displacement": (q73_haversine_displacement, Q73_SQL),
     "q72_colocation": (q72_colocation, Q72_SQL),
     "q70_tile_pyramid": (q70_tile_pyramid, _q70_sql()),
