@@ -369,6 +369,43 @@ def main():
     if re.search(r"SortMergeJoin|CartesianProduct", p14):
         failures.append("clip: unexpected join in the pair-list build")
 
+    from tzspark.queries_extra import q69_image_ahash_neardup, q71_zonal_image_stats
+    from tzspark.queries_geo import q70_tile_pyramid, q72_colocation
+
+    p15 = plan_of(q69_image_ahash_neardup(spark, sf001))
+    sections.append(("perceptual-hash near-dup (banded hamming LSH)", p15))
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p15):
+        failures.append("ahash: pair generation degenerates to a cross join")
+    n_py15 = len(re.findall(r"\(\d+\) (?:MapInPandas|MapInArrow|ArrowEvalPython)\b", p15))
+    if n_py15 > 2:
+        failures.append(
+            f"ahash: {n_py15} Python stages (expected <=2: image synthesis + the hash kernel)"
+        )
+
+    p16 = plan_of(q70_tile_pyramid(spark, sf001))
+    sections.append(("tile pyramid (multi-resolution rollup)", p16))
+    if re.search(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p16):
+        failures.append("pyramid: unexpected Python stage (pure integer column ops)")
+    if re.search(r"Join", p16):
+        failures.append("pyramid: unexpected join (levels chain by aggregation only)")
+
+    p17 = plan_of(q71_zonal_image_stats(spark, sf001))
+    sections.append(("zonal channel rollup (fused resolve + pixel sums)", p17))
+    n_arrow17 = len(re.findall(r"\(\d+\) MapInArrow\b", p17))
+    if n_arrow17 != 1:
+        failures.append(
+            f"zonal: {n_arrow17} MapInArrow stages (expected exactly 1 fused kernel)"
+        )
+    if not re.search(r"BroadcastHashJoin", p17):
+        failures.append("zonal: tzid attach is not a broadcast join")
+
+    p18 = plan_of(q72_colocation(spark, sf001))
+    sections.append(("spatiotemporal co-location ((cell, bucket) blocking)", p18))
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p18):
+        failures.append("colocation: blocking degenerates to a cross join")
+    if re.search(r"MapInPandas|MapInArrow|ArrowEvalPython", p18):
+        failures.append("colocation: unexpected Python stage (pure column ops)")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -403,6 +440,14 @@ def main():
             "- focal convolution: pure column ops over tiles, no cross join, "
             "<= 3 Exchanges\n"
             "- clip conservation: one MapInPandas fragment fold, no joins\n"
+            "- ahash near-dup: banded pair join never a cross join; <= 2 "
+            "Python stages (synthesis + hash kernel)\n"
+            "- tile pyramid: zero Python stages, zero joins — levels chain "
+            "by aggregation alone\n"
+            "- zonal rollup: exactly 1 fused MapInArrow kernel; tzid attach "
+            "broadcasts\n"
+            "- co-location: (cell, time-bucket) equi-join, never a cross "
+            "join, zero Python stages\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

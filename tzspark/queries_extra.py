@@ -733,9 +733,11 @@ def q69_image_ahash_neardup(spark, sf_dir):
 
     bcols = ["b0", "b1", "b2", "b3"]
     ah = image_ahash(_images(spark, sf_dir).select("image_id", "bytes"))
+    # both sides of the band join read `cl`; persist so the Arrow hash
+    # kernel provably runs once (the distinct-hash table is tiny)
     cl = ah.groupBy(*bcols).agg(
         F.min("image_id").alias("rep_id"), F.count("*").alias("n_members")
-    )
+    ).persist()
     bstruct = F.array(
         *[
             F.struct(F.lit(k).alias("band"), F.col(c).alias("val"))
