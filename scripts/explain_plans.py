@@ -406,6 +406,43 @@ def main():
     if re.search(r"MapInPandas|MapInArrow|ArrowEvalPython", p18):
         failures.append("colocation: unexpected Python stage (pure column ops)")
 
+    from tzspark.queries_geo import q77_knn_points_join, q79_geohash, q80_zorder_layout
+    from tzspark.queries_text import q78_repetition_signals
+
+    p19 = plan_of(q77_knn_points_join(spark, sf001))
+    sections.append(("spatial kNN join (cell-blocked radius + per-probe top-k)", p19))
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p19):
+        failures.append("knn join: candidate generation degenerates to a cross join")
+    if re.search(r"MapInPandas|MapInArrow|ArrowEvalPython", p19):
+        failures.append("knn join: unexpected Python stage (pure column ops)")
+    if not re.search(r"Window", p19):
+        failures.append("knn join: missing the per-probe top-k window")
+
+    p20 = plan_of(q79_geohash(spark, sf001))
+    sections.append(("geohash encode (bit-spread Morton, pure JVM)", p20))
+    if re.search(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p20):
+        failures.append("geohash: unexpected Python stage (pure integer column ops)")
+    if re.search(r"Join", p20):
+        failures.append("geohash: unexpected join (embarrassingly parallel scan)")
+
+    p21 = plan_of(q80_zorder_layout(spark, sf001))
+    sections.append(("z-order layout audit (two map-side-combinable aggs)", p21))
+    if re.search(r"MapInPandas|MapInArrow|ArrowEvalPython", p21):
+        failures.append("zorder: unexpected Python stage (pure column ops)")
+    if re.search(r"Window|Sort(?!MergeJoin).*global=true", p21) and re.search(
+        r"Window", p21
+    ):
+        failures.append("zorder: unexpected global window (must stay agg-only)")
+    if not re.search(r"partial_count|HashAggregate", p21):
+        failures.append("zorder: missing partial aggregation")
+
+    p22 = plan_of(q78_repetition_signals(spark, sf001))
+    sections.append(("repetition signals (Gopher-style quality filter)", p22))
+    if re.search(r"MapInPandas|MapInArrow|ArrowEvalPython|BatchEvalPython", p22):
+        failures.append("repetition: unexpected Python stage (JVM transform/explode)")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p22):
+        failures.append("repetition: unexpected cross join")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -448,6 +485,12 @@ def main():
             "broadcasts\n"
             "- co-location: (cell, time-bucket) equi-join, never a cross "
             "join, zero Python stages\n"
+            "- spatial kNN join: cell-blocked equi-join candidates, "
+            "per-probe window over pairs only, never a cross join\n"
+            "- geohash: zero joins, zero Python — one codegen'd scan\n"
+            "- z-order audit: two partial-agg groupBys, no window/sort\n"
+            "- repetition signals: JVM transform/explode, map-side-combined "
+            "(doc, bigram) agg, no cross join\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

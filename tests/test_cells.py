@@ -198,3 +198,107 @@ def test_facade_children_roundtrip():
     assert info["tzid"] == r.name and info["zone_id"] >= 0
     kid = tl.children(info["cell_id"])
     assert kid["full"] == info["full"] and kid["boundary"] == info["boundary"]
+
+
+# ---------------------------------------------------------------------------
+# geohash / Morton encode (q79/q80 kernels)
+# ---------------------------------------------------------------------------
+
+def _gh6_ref(lat, lng):
+    """Independent reference: textbook geohash bisection, float32-truncated
+    inputs, 30 bits (15 per axis), base32 alphabet."""
+    import numpy as np
+
+    lat = float(np.float32(lat))
+    lng = float(np.float32(lng))
+    bits = []
+    lo, hi = -180.0, 180.0
+    la_lo, la_hi = -90.0, 90.0
+    for i in range(30):
+        if i % 2 == 0:  # even (MSB-first) bits are longitude
+            mid = (lo + hi) / 2
+            bits.append(lng >= mid)
+            lo, hi = (mid, hi) if lng >= mid else (lo, mid)
+        else:
+            mid = (la_lo + la_hi) / 2
+            bits.append(lat >= mid)
+            la_lo, la_hi = (mid, la_hi) if lat >= mid else (la_lo, mid)
+    code = 0
+    for b in bits:
+        code = (code << 1) | int(b)
+    alph = "0123456789bcdefghjkmnpqrstuvwxyz"
+    return "".join(alph[(code >> (25 - 5 * i)) & 31] for i in range(6))
+
+
+def test_geohash_published_examples(spark):
+    """The three classic published geohashes pin the bit order, alphabet,
+    and axis orientation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tzspark.queries_geo import geohash6_col
+
+    pdf = pd.DataFrame(
+        {
+            "lat": [57.64911, 39.92324, -33.8688],
+            "lng": [10.40744, 116.3906, 151.2093],
+        }
+    )
+    out = (
+        spark.createDataFrame(pdf)
+        .select(geohash6_col(F.col("lat"), F.col("lng")).alias("gh"))
+        .toPandas()["gh"]
+        .tolist()
+    )
+    assert out == ["u4pruy", "wx4g0e", "r3gx2f"]
+
+
+def test_geohash_matches_bisection_reference(spark):
+    """The floor-scale form equals textbook bisection on a deterministic
+    off-boundary coordinate sweep (1,24 points incl. poles/date line
+    offsets)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tzspark.queries_geo import geohash6_col
+
+    lats = np.linspace(-89.987, 89.987, 31)
+    lngs = np.linspace(-179.913, 179.913, 40)
+    la, lg = np.meshgrid(lats, lngs)
+    pdf = pd.DataFrame({"lat": la.ravel(), "lng": lg.ravel()})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(geohash6_col(F.col("lat"), F.col("lng")).alias("gh"))
+        .toPandas()["gh"]
+        .tolist()
+    )
+    want = [_gh6_ref(a, b) for a, b in zip(pdf["lat"], pdf["lng"])]
+    assert got == want
+
+
+def test_morton_prefix_is_spatial_containment(spark):
+    """Z-order key property used by q80: two points in the same res-5 cell
+    share the top 10 Morton bits (5 per axis) — prefix truncation = spatial
+    coarsening."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from tzspark.queries_geo import morton30_col
+
+    pdf = pd.DataFrame(
+        {
+            "lat": [10.01, 10.02, 10.01, -45.5],
+            "lng": [20.01, 20.02, -170.0, 20.01],
+        }
+    )
+    codes = (
+        spark.createDataFrame(pdf)
+        .select(morton30_col(F.col("lat"), F.col("lng")).alias("z"))
+        .toPandas()["z"]
+        .tolist()
+    )
+    near_a, near_b, far_lng, far_lat = codes
+    assert near_a >> 20 == near_b >> 20
+    assert near_a >> 20 != far_lng >> 20
+    assert near_a >> 20 != far_lat >> 20

@@ -209,3 +209,39 @@ def test_sequence_pack_offsets(spark, tmp_path):
     assert r[2] == (0, 1, 2000)   # crosses the 2048 boundary
     assert r[3] == (1, 1, 52)
     assert r[4] == (0, 0, 0)
+
+
+def _write_docs(spark, tmp_path, rows):
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_repetition_signals_crafted(spark, tmp_path):
+    """q78 fractions pinned by hand: an all-unique doc scores 0/low and is
+    kept; a one-bigram loop doc scores high on both signals and is flagged;
+    a single-token doc (no bigram) gets top_bigram_frac 0."""
+    from tzspark.queries_text import q78_repetition_signals
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d e f g h i j k l", "en", "s"),  # 12 tokens, all distinct
+            (2, "x y x y x y x y", "en", "s"),  # 'x y' bigram 4x of 7 bigrams
+            (3, "solo", "en", "s"),  # 1 token: no bigrams at all
+        ],
+    )
+    out = q78_repetition_signals(spark, sf).toPandas().set_index("doc_id")
+    r1, r2, r3 = out.loc[1], out.loc[2], out.loc[3]
+    assert r1["n_tokens"] == 12 and r1["dup_token_frac"] == 0.0
+    # doc1's top bigram occurs once: coverage 2/12, under the 0.20 gate
+    assert round(r1["top_bigram_frac"], 6) == round(2 / 12, 6) and not r1["repetitive"]
+    # doc2: 2 distinct of 8 tokens -> dup 0.75; 'x y' occurs 4x -> 2*4/8 = 1.0
+    assert r2["dup_token_frac"] == 0.75
+    assert r2["top_bigram_frac"] == 1.0 and bool(r2["repetitive"])
+    assert r3["n_tokens"] == 1 and r3["top_bigram_frac"] == 0.0
+    assert not r3["repetitive"]

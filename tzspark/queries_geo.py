@@ -1913,7 +1913,293 @@ ORDER BY cell_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# q77: spatial kNN join (k nearest sites within a radius, per probe point)
+# ---------------------------------------------------------------------------
+
+_KNNJ_R = 2.0
+_KNNJ_K = 5
+_KNNJ_PROBE_MOD = 211
+_KNNJ_RES = 6
+
+
+def q77_knn_points_join(spark, sf_dir):
+    """Spatial kNN JOIN (reverse geocoding / nearest-POI attach): for each
+    probe point (a deterministic event subset), the _KNNJ_K nearest OTHER
+    event points within _KNNJ_R degrees, ranked by (dist2, site_id). Pairs
+    come from the same asymmetric cell-blocked radius join as q68 (probe
+    rectangles x site single cells — complete within the radius,
+    duplicate-free, never |P| x |S|); the per-probe row_number windows over
+    candidate pairs only (bounded by the sites inside one radius), never raw
+    points. The radius bound is what makes a distributed kNN join
+    scale-safe: unbounded kNN needs expanding-ring re-probes, and every real
+    nearest-POI workload has a natural cutoff. dist2 is the identical f64
+    expression in both engines, so ranking ties can never diverge. Oracle:
+    brute-force cross join + ROW_NUMBER."""
+    from .covertable import point_pairs_within
+
+    p = pts_df(spark, sf_dir)
+    probes = p.where(F.col("event_id") % _KNNJ_PROBE_MOD == 0).select(
+        F.col("event_id").alias("probe_id"), "lat", "lng"
+    )
+    sites = p.select(F.col("event_id").alias("site_id"), "lat", "lng")
+    pairs = point_pairs_within(
+        probes, "probe_id", sites, "site_id", radius=_KNNJ_R, res=_KNNJ_RES
+    ).where(F.col("probe_id") != F.col("site_id"))
+    w = Window.partitionBy("probe_id").orderBy(F.asc("dist2"), F.asc("site_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _KNNJ_K)
+        .select("probe_id", "rank", "site_id", F.round("dist2", 6).alias("dist2"))
+        .orderBy("probe_id", "rank")
+    )
+
+
+Q77_SQL = f"""
+WITH pts AS ({PTS_SQL}),
+probes AS (
+  SELECT event_id AS probe_id, lat, lng FROM pts
+  WHERE event_id % {_KNNJ_PROBE_MOD} = 0
+),
+pairs AS (
+  SELECT a.probe_id, b.event_id AS site_id, {_PP_D2_SQL} AS dist2
+  FROM probes a JOIN pts b ON a.probe_id <> b.event_id
+  WHERE {_PP_D2_SQL} <= {_KNNJ_R * _KNNJ_R!r}
+),
+rk AS (
+  SELECT probe_id, site_id, dist2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY dist2 ASC, site_id ASC) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT probe_id, rank, site_id, ROUND(dist2, 6) AS dist2
+FROM rk WHERE rank <= {_KNNJ_K}
+ORDER BY probe_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# q79: geohash encode (the other standard geo index, base32 bit-interleave)
+# ---------------------------------------------------------------------------
+
+GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+# bit i of a 16-bit value -> bit 2i (public Morton magic constants)
+_SPREAD_STEPS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def _spread_bits_col(x):
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    for sh, m in _SPREAD_STEPS:
+        x = (x.bitwiseOR(F.shiftleft(x, sh))).bitwiseAND(F.lit(m))
+    return x
+
+
+def _spread_bits_sql(x: str) -> str:
+    s = f"({x} & 65535)"
+    for sh, m in _SPREAD_STEPS:
+        s = f"(({s} | ({s} << {sh})) & {m})"
+    return s
+
+
+def morton30_col(lat_col, lng_col):
+    """30-bit Morton/geohash code: 15 bits per axis scaled exactly like
+    cells.cell_id_col (float32-truncate then f64 floor-scale), longitude on
+    the odd (more significant) bit lanes — geohash bit order. Pure JVM
+    integer ops, zero UDFs; the same code is both the geohash payload and
+    the Z-order locality key (q80)."""
+    n = 1 << 15
+    lat64 = lat_col.cast("float").cast("double")
+    lng64 = lng_col.cast("float").cast("double")
+    li = F.least(
+        F.greatest(F.floor((lat64 + 90.0) / 180.0 * n).cast("bigint"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    gi = F.least(
+        F.greatest(F.floor((lng64 + 180.0) / 360.0 * n).cast("bigint"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    return F.shiftleft(_spread_bits_col(gi), 1).bitwiseOR(_spread_bits_col(li))
+
+
+def geohash6_col(lat_col, lng_col):
+    """6-character geohash string (precision-6, ~±0.61 km). Verified against
+    the classic published examples (u4pruy / wx4g0e / r3gx2f) in
+    tests/test_cells.py; the axis quantization is the floor-scale form of
+    the textbook bisection (identical except at double-rounding boundaries,
+    and identical BY CONSTRUCTION to the SQL oracle)."""
+    code = morton30_col(lat_col, lng_col)
+    alpha = F.array(*[F.lit(c) for c in GH_ALPHABET])
+    chars = [
+        F.element_at(
+            alpha,
+            (F.shiftright(code, 25 - 5 * i).bitwiseAND(F.lit(31)) + 1).cast("int"),
+        )
+        for i in range(6)
+    ]
+    return F.concat(*chars)
+
+
+def _morton30_sql_ctes(lat: str, lng: str) -> str:
+    """CTE text computing `code` (the 30-bit Morton key) from an `src` CTE
+    carrying event_id/lat/lng — mirrors morton30_col bit for bit."""
+    n = 1 << 15
+    li = (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({lat} AS FLOAT) + 90.0) / 180.0 * {n}) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    gi = (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST({lng} AS FLOAT) + 180.0) / 360.0 * {n}) "
+        f"AS BIGINT), 0), {n - 1})"
+    )
+    return f"""
+ax AS (
+  SELECT event_id, {li} AS li, {gi} AS gi FROM src
+),
+code AS (
+  SELECT event_id,
+         (({_spread_bits_sql('gi')} << 1) | {_spread_bits_sql('li')}) AS code
+  FROM ax
+)"""
+
+
+def q79_geohash(spark, sf_dir):
+    """Geohash encode: the standard base32 interleaved-bit geo index (the
+    complement to the engine's row-major cell ids) as a pure-JVM column
+    expression — bit-spread Morton interleave, no UDF, no shuffle. Emits
+    the precision-6 hash plus its precision-3 prefix (prefix-truncation IS
+    geohash's multi-resolution rollup). Scale shape: embarrassingly
+    parallel scan."""
+    p = pts_df(spark, sf_dir)
+    return (
+        p.select(
+            "event_id",
+            geohash6_col(F.col("lat"), F.col("lng")).alias("gh6"),
+        )
+        .withColumn("gh3", F.substring("gh6", 1, 3))
+        .orderBy("event_id")
+    )
+
+
+def _q79_sql() -> str:
+    ch = " || ".join(
+        f"substr('{GH_ALPHABET}', CAST(((code >> {25 - 5 * i}) & 31) AS INTEGER) + 1, 1)"
+        for i in range(6)
+    )
+    return f"""
+WITH src AS ({PTS_SQL}),
+{_morton30_sql_ctes('lat', 'lng')}
+SELECT event_id, gh6, substr(gh6, 1, 3) AS gh3
+FROM (SELECT event_id, {ch} AS gh6 FROM code)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q80: Z-order write-layout audit (spatial locality of key-range buckets)
+# ---------------------------------------------------------------------------
+
+_ZO_BUCKETS_BITS = 10  # 1024 buckets = top 10 bits of the 30-bit Z key
+_ZO_CELL_RES = 8
+
+
+def q80_zorder_layout(spark, sf_dir):
+    """Z-order clustering audit — the data-layout primitive behind
+    Delta/Iceberg `OPTIMIZE ZORDER BY (lat, lng)`: bucketing rows by
+    key RANGE on the Morton code (here: its top 10 bits — 1024
+    deterministic range buckets) puts spatially-adjacent rows in the same
+    file, so point/range queries prune to a few buckets. The audit
+    quantifies that against a content-hash layout on the SAME rows: per
+    bucket, the spatial bbox extent and distinct res-8 cells touched, then
+    one summary row per layout. At 100 TB this is two map-side-combinable
+    groupBys over a scan — no window, no sort, no collect; writing the
+    layout itself is `repartitionByRange(zkey)` + sortWithinPartitions.
+    Expect zorder avg extents ~100x tighter than hash."""
+    p = pts_df(spark, sf_dir)
+    zkey = morton30_col(F.col("lat"), F.col("lng"))
+    hbucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % (1 << _ZO_BUCKETS_BITS)
+    )
+    tagged = p.select(
+        F.col("lat").cast("float").cast("double").alias("lat"),
+        F.col("lng").cast("float").cast("double").alias("lng"),
+        F.shiftright(zkey, 30 - _ZO_BUCKETS_BITS).alias("zbucket"),
+        hbucket.alias("hbucket"),
+        cell_id_col(F.col("lat"), F.col("lng"), _ZO_CELL_RES).alias("cell_id"),
+    )
+    per_bucket = (
+        tagged.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("zorder").alias("layout"), F.col("zbucket").alias("bucket")),
+                    F.struct(F.lit("hash").alias("layout"), F.col("hbucket").alias("bucket")),
+                )
+            ).alias("lb"),
+            "lat", "lng", "cell_id",
+        )
+        .select("lb.layout", "lb.bucket", "lat", "lng", "cell_id")
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("lat") - F.min("lat")).alias("lat_ext"),
+            (F.max("lng") - F.min("lng")).alias("lng_ext"),
+            F.countDistinct("cell_id").alias("n_cells"),
+        )
+    )
+    return (
+        per_bucket.groupBy("layout")
+        .agg(
+            F.countDistinct("bucket").cast("long").alias("n_buckets"),
+            F.sum("n").alias("n_rows"),
+            F.round(F.avg("lat_ext"), 6).alias("avg_lat_extent"),
+            F.round(F.avg("lng_ext"), 6).alias("avg_lng_extent"),
+            F.round(F.avg("n_cells"), 6).alias("avg_cells_per_bucket"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _q80_sql() -> str:
+    cell = cell_id_sql("lat", "lng", _ZO_CELL_RES)
+    return f"""
+WITH src AS ({PTS_SQL}),
+{_morton30_sql_ctes('lat', 'lng')},
+tagged AS (
+  SELECT s.event_id,
+         CAST(CAST(s.lat AS FLOAT) AS DOUBLE) AS lat,
+         CAST(CAST(s.lng AS FLOAT) AS DOUBLE) AS lng,
+         (c.code >> {30 - _ZO_BUCKETS_BITS}) AS zbucket,
+         CAST(concat('0x', substring(md5(CAST(s.event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {1 << _ZO_BUCKETS_BITS} AS hbucket,
+         {cell} AS cell_id
+  FROM src s JOIN code c USING (event_id)
+),
+both_layouts AS (
+  SELECT 'zorder' AS layout, zbucket AS bucket, lat, lng, cell_id FROM tagged
+  UNION ALL
+  SELECT 'hash' AS layout, hbucket AS bucket, lat, lng, cell_id FROM tagged
+),
+per_bucket AS (
+  SELECT layout, bucket, COUNT(*) AS n,
+         MAX(lat) - MIN(lat) AS lat_ext,
+         MAX(lng) - MIN(lng) AS lng_ext,
+         COUNT(DISTINCT cell_id) AS n_cells
+  FROM both_layouts GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_buckets,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       ROUND(AVG(lat_ext), 6) AS avg_lat_extent,
+       ROUND(AVG(lng_ext), 6) AS avg_lng_extent,
+       ROUND(AVG(n_cells), 6) AS avg_cells_per_bucket
+FROM per_bucket GROUP BY layout ORDER BY layout
+"""
+
+
 GEO_QUERIES = {
+    "q80_zorder_layout": (q80_zorder_layout, _q80_sql()),
+    "q79_geohash": (q79_geohash, _q79_sql()),
+    "q77_knn_points_join": (q77_knn_points_join, Q77_SQL),
     "q76_tile_top_users": (q76_tile_top_users, _q76_sql()),
     "q75_zone_dwell": (
         q75_zone_dwell,

@@ -2051,7 +2051,97 @@ WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGIN
 """
 
 
+# --- q78: repetition-signal quality filter (Gopher-style) -------------------
+
+_REP_DUP_THRESH = 0.55  # duplicate-token fraction above this => repetitive
+_REP_BG_THRESH = 0.20  # Gopher: most-common-2-gram coverage > 0.20 => repetitive
+
+
+def q78_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    'fraction of characters in the most common n-gram' family, token form):
+    per document, the duplicate-token fraction (1 - distinct/total) and the
+    token coverage of the single most frequent bigram, plus the filter flag.
+    All-JVM: bigrams are built with a transform() over the token array (no
+    Python), counted by one map-side-combinable (doc_id, bigram) groupBy,
+    and max-reduced per doc; the per-doc token stats need no explode at all.
+    Scale shape: the bigram agg keys on (doc_id, bigram) so partial
+    aggregation collapses each doc's repeats before the shuffle; join back
+    to the narrow per-doc stats is one doc_id shuffle. No windows over raw
+    tokens, no collect."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    bigrams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 2),"
+                    " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram_n"))
+    )
+    j = base.join(top_bg, "doc_id", "left").na.fill({"max_bigram_n": 0})
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    bg_frac = F.lit(2.0) * F.col("max_bigram_n") / F.col("n_tokens")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_frac, 6).alias("dup_token_frac"),
+        F.round(bg_frac, 6).alias("top_bigram_frac"),
+        ((dup_frac > _REP_DUP_THRESH) | (bg_frac > _REP_BG_THRESH)).alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+Q78_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+base AS (
+  SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct
+  FROM toks
+),
+bigcnt AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ts)),
+                  i -> ts[i] || ' ' || ts[i + 1])) AS bg
+    FROM toks
+  ) GROUP BY 1, 2
+),
+topbg AS (
+  SELECT doc_id, MAX(c) AS max_bigram_n FROM bigcnt GROUP BY doc_id
+),
+j AS (
+  SELECT b.doc_id, b.n_tokens,
+         1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS dup_frac,
+         2.0 * COALESCE(t.max_bigram_n, 0) / b.n_tokens AS bg_frac
+  FROM base b LEFT JOIN topbg t USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       ROUND(dup_frac, 6) AS dup_token_frac,
+       ROUND(bg_frac, 6) AS top_bigram_frac,
+       (dup_frac > {_REP_DUP_THRESH} OR bg_frac > {_REP_BG_THRESH}) AS repetitive
+FROM j ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
+    "q78_repetition_signals": (q78_repetition_signals, Q78_SQL),
     "q74_weighted_sample": (q74_weighted_sample, Q74_SQL),
     "q61_ivfpq_search": (q61_ivfpq_search, Q61_SQL),
     "q60_pq_adc_search": (q60_pq_adc_search, Q60_SQL),
