@@ -780,7 +780,10 @@ def q69_image_ahash_neardup(spark, sf_dir):
     )
 
 
-def _q69_sql() -> str:
+def _ahash_cl_ctes() -> str:
+    """CTE chain lu -> tot -> bits -> hashes -> cl recomputing the aHash
+    from the pixel-synthesis arithmetic; shared by the q69 and q81
+    oracles."""
     gather = f"""
   SELECT d.i, d.w, d.h, d.fmt, d.phase, oy.v AS oy, ox.v AS ox,
          (oy.v * d.h) // 8 AS y, (ox.v * d.w) // 8 AS x
@@ -792,9 +795,7 @@ def _q69_sql() -> str:
         f" << (k % 16)) ELSE 0 END) AS BIGINT) AS b{bx}"
         for bx in range(4)
     )
-    ham = " + ".join(f"bit_count(xor(a.b{bx}, b.b{bx}))" for bx in range(4))
-    return f"""
-WITH lu AS (
+    return f"""lu AS (
   SELECT i, oy * 8 + ox AS k,
          CAST(299 * r + 587 * g + 114 * b AS BIGINT) AS luma
   FROM ({_decoded_px_sql(gather)})
@@ -813,13 +814,132 @@ hashes AS (
 cl AS (
   SELECT b0, b1, b2, b3, MIN(image_id) AS rep_id, COUNT(*) AS n_members
   FROM hashes GROUP BY 1, 2, 3, 4
-)
+)"""
+
+
+_AHASH_HAM_SQL = " + ".join(f"bit_count(xor(a.b{bx}, b.b{bx}))" for bx in range(4))
+
+
+def _q69_sql() -> str:
+    return f"""
+WITH {_ahash_cl_ctes()}
 SELECT a.rep_id AS rep_a, b.rep_id AS rep_b,
-       CAST({ham} AS INTEGER) AS hamming,
+       CAST({_AHASH_HAM_SQL} AS INTEGER) AS hamming,
        a.n_members AS n_a, b.n_members AS n_b
 FROM cl a JOIN cl b ON a.rep_id < b.rep_id
-WHERE {ham} <= {_AHASH_HAM_MAX}
+WHERE {_AHASH_HAM_SQL} <= {_AHASH_HAM_MAX}
 ORDER BY rep_a, rep_b
+"""
+
+
+def q81_image_dedup_canonical(spark, sf_dir):
+    """Canonical image selection — the image-side q44 (the step an image
+    training pipeline runs after near-dup detection: keep ONE image per
+    duplicate cluster). Composition: aHash in one Arrow pass -> EXACT-hash
+    groups collapse by hash groupBy (mandatory before pair generation;
+    this table carries 489-image collision groups) -> banded-LSH near-dup
+    pairs among DISTINCT hashes (q69's join, pigeonhole-exact recall at
+    hamming <= 3) -> connected components over the rep graph
+    (min_label_cc; image ids are fixed-width zero-padded so lexicographic
+    min == numeric min) -> every image mapped to its cluster canon.
+    Output pins every per-image keep/drop decision (10k rows, not just
+    survivors). Scale shape: the full image table is touched by ONE Arrow
+    hash pass + one bands groupBy; pair generation, CC, and the canon
+    table all run on distinct hashes (tiny), and the final canon attach is
+    a broadcast join — no second shuffle of image rows."""
+    from .imageops import image_ahash
+    from .queries_text import min_label_cc
+
+    bcols = ["b0", "b1", "b2", "b3"]
+    ah = image_ahash(_images(spark, sf_dir).select("image_id", "bytes"))
+    cl = (
+        ah.groupBy(*bcols)
+        .agg(F.min("image_id").alias("rep_id"))
+        .persist()
+    )
+    members = (
+        ah.select("image_id", *bcols).join(cl, bcols).select("image_id", "rep_id")
+    )
+    e = cl.select(
+        "rep_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(c).alias("val"))
+                    for k, c in enumerate(bcols)
+                ]
+            )
+        ).alias("bk"),
+        *bcols,
+    ).select("rep_id", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"), *bcols)
+    a = e.select(
+        F.col("rep_id").alias("rep_a"),
+        *[F.col(c).alias(f"{c}_a") for c in bcols],
+        "band",
+        "val",
+    )
+    b = e.select(
+        F.col("rep_id").alias("rep_b"),
+        *[F.col(c).alias(f"{c}_b") for c in bcols],
+        "band",
+        "val",
+    )
+    ham = sum(F.expr(f"bit_count({c}_a ^ {c}_b)") for c in bcols)
+    pairs = (
+        a.join(b, ["band", "val"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .where(ham <= _AHASH_HAM_MAX)
+        .select("rep_a", "rep_b")
+        .distinct()
+    )
+    fwd = pairs.select(F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels, _rounds = min_label_cc(edges)
+    canon = labels.select(
+        F.col("doc_id").alias("rep_id"), F.col("canon_id").alias("canon_rep")
+    )
+    return (
+        members.join(F.broadcast(canon), "rep_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("canon_rep", F.col("rep_id")).alias("canon_id"),
+        )
+        .withColumn("kept", F.col("image_id") == F.col("canon_id"))
+        .orderBy("image_id")
+    )
+
+
+def _q81_sql() -> str:
+    return f"""
+WITH RECURSIVE {_ahash_cl_ctes()},
+mem AS (
+  SELECT h.image_id, c.rep_id FROM hashes h JOIN cl c USING (b0, b1, b2, b3)
+),
+pairs AS (
+  SELECT a.rep_id AS rep_a, b.rep_id AS rep_b
+  FROM cl a JOIN cl b ON a.rep_id < b.rep_id
+  WHERE {_AHASH_HAM_SQL} <= {_AHASH_HAM_MAX}
+),
+edges AS (
+  SELECT rep_a AS src, rep_b AS dst FROM pairs
+  UNION
+  SELECT rep_b, rep_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (
+  SELECT src AS rep_id, LEAST(src, MIN(dst)) AS canon_rep FROM reach GROUP BY src
+)
+SELECT m.image_id,
+       COALESCE(l.canon_rep, m.rep_id) AS canon_id,
+       m.image_id = COALESCE(l.canon_rep, m.rep_id) AS kept
+FROM mem m LEFT JOIN lab l USING (rep_id)
+ORDER BY image_id
 """
 
 
@@ -882,9 +1002,11 @@ EXTRA_QUERIES = {
     "q63_snapshot_time_travel": q63_snapshot_time_travel,
     "q69_image_ahash_neardup": q69_image_ahash_neardup,
     "q71_zonal_image_stats": q71_zonal_image_stats,
+    "q81_image_dedup_canonical": q81_image_dedup_canonical,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 EXTRA_ORACLES["q69_image_ahash_neardup"] = _q69_sql()
+EXTRA_ORACLES["q81_image_dedup_canonical"] = _q81_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.
