@@ -211,15 +211,6 @@ def test_sequence_pack_offsets(spark, tmp_path):
     assert r[4] == (0, 0, 0)
 
 
-def _write_docs(spark, tmp_path, rows):
-    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
-    pdf["n_chars"] = pdf["text"].str.len()
-    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
-        f"{tmp_path}/documents.parquet"
-    )
-    return str(tmp_path)
-
-
 def test_repetition_signals_crafted(spark, tmp_path):
     """q78 fractions pinned by hand: an all-unique doc scores 0/low and is
     kept; a one-bigram loop doc scores high on both signals and is flagged;
@@ -230,9 +221,9 @@ def test_repetition_signals_crafted(spark, tmp_path):
         spark,
         tmp_path,
         [
-            (1, "a b c d e f g h i j k l", "en", "s"),  # 12 tokens, all distinct
-            (2, "x y x y x y x y", "en", "s"),  # 'x y' bigram 4x of 7 bigrams
-            (3, "solo", "en", "s"),  # 1 token: no bigrams at all
+            (1, "a b c d e f g h i j k l", "en"),  # 12 tokens, all distinct
+            (2, "x y x y x y x y", "en"),  # 'x y' bigram 4x of 7 bigrams
+            (3, "solo", "en"),  # 1 token: no bigrams at all
         ],
     )
     out = q78_repetition_signals(spark, sf).toPandas().set_index("doc_id")
