@@ -443,6 +443,36 @@ def main():
     if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p22):
         failures.append("repetition: unexpected cross join")
 
+    from tzspark.queries_extra import q82_local_time_rollup, q83_zone_quota_sample
+
+    p23 = plan_of(q82_local_time_rollup(spark, sf001))
+    sections.append(("local-time rollup (solar offset + hour-of-day agg)", p23))
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p23):
+        failures.append("localtime: a join degenerated to a cross join")
+    # the synthesis MapInPandas (test-data generation) is in-plan at this
+    # SF; the OPERATOR itself must contribute exactly one Arrow stage
+    if len(re.findall(r"\(\d+\) ArrowEvalPython", p23)) != 1 or re.search(
+        r"MapInArrow", p23
+    ):
+        failures.append(
+            "localtime: expected exactly ONE Arrow stage (the fused lookup)"
+        )
+    if not re.search(r"BroadcastHashJoin|BroadcastExchange", p23):
+        failures.append("localtime: 25-row offset dim is not broadcast")
+    if not re.search(r"partial", p23):
+        failures.append("localtime: rollup missing partial aggregation")
+
+    p24 = plan_of(q83_zone_quota_sample(spark, sf001))
+    sections.append(("per-zone quota cap (content-hash row_number window)", p24))
+    if len(re.findall(r"\(\d+\) ArrowEvalPython", p24)) != 1 or re.search(
+        r"MapInArrow", p24
+    ):
+        failures.append("quota: expected exactly ONE Arrow stage (the fused lookup)")
+    if not re.search(r"Window", p24):
+        failures.append("quota: missing the per-zone rank window")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p24):
+        failures.append("quota: unexpected cross join")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -491,6 +521,10 @@ def main():
             "- z-order audit: two partial-agg groupBys, no window/sort\n"
             "- repetition signals: JVM transform/explode, map-side-combined "
             "(doc, bigram) agg, no cross join\n"
+            "- local-time rollup: one Arrow stage (fused lookup), offset "
+            "dim broadcast, partial-agg rollup, JVM time arithmetic\n"
+            "- quota cap: one Arrow stage (fused lookup), per-zone "
+            "row_number window, no cross join\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

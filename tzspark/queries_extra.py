@@ -943,6 +943,131 @@ ORDER BY image_id
 """
 
 
+def _q41_assigned(spark, sf_dir):
+    """The q41 fused per-image zone assignment (GPS extract -> cover PIP ->
+    kNN -> tzid broadcast join) over the 25 nation boxes — shared input
+    stage for the downstream analytics operators (q82/q83)."""
+    from .cells import compile_cover
+    from .engine import assign_timezones, zone_dim_df
+    from .queries_geo import box_zones
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    idx_b = spark.sparkContext.broadcast(idx)
+    dim = zone_dim_df(spark, zones)
+    a = assign_timezones(_images(spark, sf_dir), idx_b, dim, max_res=7)
+    return a, dim
+
+
+def q82_local_time_rollup(spark, sf_dir):
+    """Zone-local-time analytics — the reason a timezone lookup exists
+    (reference README.md:1-10: resolve a coordinate so timestamps can be
+    localized). Each image's UTC capture timestamp (events.ts, keyed by
+    the event_id embedded in image_id) is shifted to its resolved zone's
+    local clock using the solar offset of the zone's center meridian
+    (round(center_lng / 15) whole hours — the physical rule civil
+    timezones approximate), then activity is rolled up per (zone, local
+    hour of day). Plan shape: ONE Arrow pass for the lookup, a broadcast
+    join for the 25-row offset dim, a shuffle equi-join on the unique
+    event_id for the timestamp attach (both sides huge at 10^12 rows —
+    the honest non-broadcast regime), and one partial-aggregated rollup
+    bounded by |zones| x 24 output rows. All time arithmetic is JVM-side
+    (timestampadd + hour), no Python."""
+    a, dim = _q41_assigned(spark, sf_dir)
+    off = dim.select(
+        "zone_id",
+        F.round(((F.col("min_lng") + F.col("max_lng")) / F.lit(2.0)) / F.lit(15.0))
+        .cast("int")
+        .alias("offset_hours"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id"
+    )
+    keyed = a.select(
+        "zone_id",
+        "tzid",
+        F.substring("image_id", 4, 12).cast("long").alias("event_id"),
+    )
+    j = keyed.join(ev, "event_id").join(F.broadcast(off), "zone_id")
+    loc = j.withColumn("local_ts", F.expr("timestampadd(HOUR, offset_hours, ts)"))
+    return (
+        loc.groupBy("zone_id", "tzid", F.hour("local_ts").alias("local_hour"))
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("zone_id", "local_hour")
+    )
+
+
+def _q82_sql() -> str:
+    from .queries_geo import BOXES_SQL
+
+    return f"""
+WITH a AS ({Q41_SQL}),
+off AS (
+  SELECT zone_id,
+         CAST(ROUND(((min_lng + max_lng) / 2.0) / 15.0) AS INTEGER) AS offset_hours
+  FROM ({BOXES_SQL})
+),
+j AS (
+  SELECT a.zone_id, a.tzid,
+         EXTRACT(hour FROM e.ts + o.offset_hours * INTERVAL 1 HOUR) AS local_hour,
+         e.user_id
+  FROM a
+  JOIN events e ON CAST(SUBSTR(a.image_id, 4, 12) AS BIGINT) = e.event_id
+  JOIN off o ON a.zone_id = o.zone_id
+)
+SELECT zone_id, tzid, CAST(local_hour AS INTEGER) AS local_hour,
+       COUNT(*) AS n_images,
+       COUNT(DISTINCT user_id) AS n_users
+FROM j GROUP BY 1, 2, 3
+ORDER BY zone_id, local_hour
+"""
+
+
+_ZONE_QUOTA = 300
+
+
+def q83_zone_quota_sample(spark, sf_dir):
+    """Per-zone quota cap — geo-debiasing a training mix: over-represented
+    regions (the skewed coastline cells of a web crawl) are capped at a
+    fixed per-zone quota, selected by a deterministic content hash so the
+    subsample is retry/resume/partition-stable (no RNG state), mirroring
+    q49's threshold sampler but with an EXACT per-group count. Output pins
+    every per-image keep/drop decision and its rank. Plan shape: one hash
+    Exchange on zone_id + one in-partition sort for the row_number window;
+    at 10^12 rows a mega-zone makes one partition sort-heavy — the scale
+    escape is the q49 pattern (approximate md5-threshold prefilter sized
+    to ~quota, then this exact window over the survivors), which this
+    operator composes with; the exact window stays the semantic anchor."""
+    a, _dim = _q41_assigned(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("zone_id").orderBy(F.md5("image_id"), "image_id")
+    return (
+        a.select("image_id", "zone_id", "tzid")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("kept", F.col("rk") <= _ZONE_QUOTA)
+        .orderBy("image_id")
+    )
+
+
+def _q83_sql() -> str:
+    return f"""
+WITH a AS ({Q41_SQL}),
+r AS (
+  SELECT image_id, zone_id, tzid,
+         ROW_NUMBER() OVER (
+           PARTITION BY zone_id ORDER BY md5(image_id), image_id) AS rk
+  FROM a
+)
+SELECT image_id, zone_id, tzid, CAST(rk AS INTEGER) AS rk,
+       rk <= {_ZONE_QUOTA} AS kept
+FROM r ORDER BY image_id
+"""
+
+
 def q71_zonal_image_stats(spark, sf_dir):
     """Zonal statistics — the geospatial join and the payload path fused in
     ONE operator: every image resolves to its timezone polygon while the
@@ -1003,10 +1128,14 @@ EXTRA_QUERIES = {
     "q69_image_ahash_neardup": q69_image_ahash_neardup,
     "q71_zonal_image_stats": q71_zonal_image_stats,
     "q81_image_dedup_canonical": q81_image_dedup_canonical,
+    "q82_local_time_rollup": q82_local_time_rollup,
+    "q83_zone_quota_sample": q83_zone_quota_sample,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 EXTRA_ORACLES["q69_image_ahash_neardup"] = _q69_sql()
 EXTRA_ORACLES["q81_image_dedup_canonical"] = _q81_sql()
+EXTRA_ORACLES["q82_local_time_rollup"] = _q82_sql()
+EXTRA_ORACLES["q83_zone_quota_sample"] = _q83_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.
