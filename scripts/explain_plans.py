@@ -473,6 +473,28 @@ def main():
     if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p24):
         failures.append("quota: unexpected cross join")
 
+    from tzspark.queries_extra import q84_patchify
+    from tzspark.queries_text import q85_mix_interleave
+
+    p25 = plan_of(q84_patchify(spark, sf001))
+    sections.append(("ViT patchify (one mapInArrow fold, sums-only output)", p25))
+    # exactly one MapInArrow (the patch fold); synthesis MapInPandas allowed
+    if len(re.findall(r"\(\d+\) MapInArrow\b", p25)) != 1:
+        failures.append("patchify: expected exactly ONE MapInArrow stage")
+    if re.search(r"Join", p25):
+        failures.append("patchify: unexpected join (embarrassingly parallel)")
+
+    p26 = plan_of(q85_mix_interleave(spark, sf001))
+    sections.append(("weighted mix interleave (per-source window, no global rank)", p26))
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas", p26):
+        failures.append("interleave: unexpected Python stage (pure column ops)")
+    if not re.search(r"Window", p26):
+        failures.append("interleave: missing the per-source rank window")
+    if re.search(r"Window.*\[\]", p26) or re.search(
+        r"windowspecdefinition\(\s*md5", p26
+    ):
+        failures.append("interleave: window lost its source partitioning")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -525,6 +547,10 @@ def main():
             "dim broadcast, partial-agg rollup, JVM time arithmetic\n"
             "- quota cap: one Arrow stage (fused lookup), per-zone "
             "row_number window, no cross join\n"
+            "- patchify: exactly one MapInArrow fold, zero joins — only "
+            "patch sums leave the kernel\n"
+            "- mix interleave: source-partitioned window, zero Python "
+            "stages, no global rank\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

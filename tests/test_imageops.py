@@ -182,3 +182,33 @@ def test_image_ahash_mixed_failures(spark):
     assert a.loc["bad"][["b0", "b1", "b2", "b3"]].isna().all()
     _, _, pix = decode_image(bytes(good))
     assert [int(a.loc["good"][f"b{b}"]) for b in range(4)] == _ahash_scalar(pix)
+
+
+def test_patchify_equals_decode_loop(spark, imgs):
+    """The grouped reshape-fold patchify must reproduce per-image decode ->
+    8x8 block sums, patch for patch, including the mixed-shape grid."""
+    from tzspark.imageops import patchify
+
+    out = patchify(imgs, patch=8).toPandas()
+    got = {
+        (r["image_id"], r["py"], r["px"]): (r["sum_r"], r["sum_g"], r["sum_b"])
+        for _, r in out.iterrows()
+    }
+    assert (out["n_px"] == 64).all()
+    n_expect = 0
+    rows = imgs.select("image_id", "bytes").toPandas()
+    for _, row in rows.iterrows():
+        _, _, pix = decode_image(bytes(row["bytes"]))
+        h, w = pix.shape[:2]
+        gy, gx = h // 8, w // 8
+        n_expect += gy * gx
+        p = pix.astype(np.int64)
+        for py in range(gy):
+            for px in range(gx):
+                blk = p[py * 8 : py * 8 + 8, px * 8 : px * 8 + 8, :]
+                assert got[(row["image_id"], py, px)] == (
+                    blk[..., 0].sum(),
+                    blk[..., 1].sum(),
+                    blk[..., 2].sum(),
+                )
+    assert len(out) == n_expect

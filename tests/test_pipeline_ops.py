@@ -236,3 +236,35 @@ def test_repetition_signals_crafted(spark, tmp_path):
     assert r2["top_bigram_frac"] == 1.0 and bool(r2["repetitive"])
     assert r3["n_tokens"] == 1 and r3["top_bigram_frac"] == 0.0
     assert not r3["repetitive"]
+
+
+def test_mix_interleave_stride_schedule(spark, tmp_path):
+    """q85: a weight-w source must land w docs per unit of key space,
+    interleaved by stride — pinned on a crafted two-source corpus."""
+    from tzspark.queries_text import q85_mix_interleave
+
+    rows = [(i, f"doc {i}", "en") for i in range(12)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    # src1 -> weight 2, src2 -> weight 3 (1 + src_num % 4)
+    pdf["source"] = ["src1"] * 6 + ["src2"] * 6
+    pdf["n_chars"] = pdf["text"].str.len()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = q85_mix_interleave(spark, str(tmp_path)).toPandas()
+    assert len(out) == 12
+    # pos_key is (r - 0.5) / weight exactly
+    assert (
+        out["pos_key"] == ((out["r"] - 0.5) / out["weight"]).round(6)
+    ).all()
+    assert set(out[out["source"] == "src1"]["weight"]) == {2}
+    assert set(out[out["source"] == "src2"]["weight"]) == {3}
+    # stride property: among keys <= 1.0, weight-2 source has 2 docs,
+    # weight-3 source has 3
+    head = out[out["pos_key"] <= 1.0]
+    assert head.groupby("source").size().to_dict() == {"src1": 2, "src2": 3}
+    # rows arrive sorted by the schedule
+    assert out["pos_key"].is_monotonic_increasing
+    # per-source rank is a 1..n permutation (no gaps, hash order total)
+    for _s, g in out.groupby("source"):
+        assert sorted(g["r"]) == list(range(1, len(g) + 1))

@@ -378,3 +378,104 @@ def frame_sample(frames: DataFrame, clip_col: str, order_col: str, k: int) -> Da
         .where((F.col("_rn") - 1) % k == 0)
         .drop("_rn")
     )
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("py", T.IntegerType(), False),
+        T.StructField("px", T.IntegerType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def patchify(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch extraction: cut every decoded image into a grid of
+    (patch x patch) tiles and emit exact int64 per-patch channel sums —
+    the patchification step a vision-transformer training pipeline runs
+    over every image, as ONE mapInArrow stage.
+
+    Vectorized per (h, w)-shape x format group: one fancy-index gather
+    pulls the packed payload matrix (k, 3*h*w) straight from the Arrow
+    data buffer (raw/qnt) or the single global RLE decode, then one
+    6-axis reshape + sum folds it to (k, h/P, w/P, 3) — no per-image
+    Python, no per-patch loop. Only the 7-column sums table crosses back
+    to the JVM (never pixels), so the shuffle after this operator carries
+    ~16 small rows per image, not payloads. Rows whose decode fails and
+    trailing partial patches (h or w not a multiple of P) are clipped,
+    matching the floor-grid semantics of standard ViT patch embeds.
+    """
+    import pyarrow as pa
+
+    from .engine import _arrow_binary_view
+    from .imagecodec import batch_image_stats
+
+    names = [f.name for f in PATCH_SCHEMA.fields]
+
+    def _patches(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            st = batch_image_stats(data, offs, keep_decoded=True)
+            ok = st["ok"] if valid is None else st["ok"] & valid
+            n = len(ok)
+            ps = offs[:-1] + HEADER_LEN
+            decoded, dstart, rle_rows, good = st["rle"]
+            rle_start = np.full(n, -1, np.int64)
+            rle_start[rle_rows[good]] = dstart[:-1][good]
+            is_rle_row = np.zeros(n, bool)
+            is_rle_row[rle_rows] = True
+            fmtc = st["fmt_code"]
+            h64, w64 = st["h"], st["w"]
+            okw = np.flatnonzero(ok)
+            o_idx, o_py, o_px, o_sum = [], [], [], []
+            for hh, ww in sorted(set(zip(h64[okw].tolist(), w64[okw].tolist()))):
+                gy, gx = hh // patch, ww // patch
+                if gy == 0 or gx == 0:
+                    continue
+                sel = okw[(h64[okw] == hh) & (w64[okw] == ww)]
+                span = np.arange(3 * hh * ww, dtype=np.int64)
+                grid_y = np.repeat(np.arange(gy, dtype=np.int32), gx)
+                grid_x = np.tile(np.arange(gx, dtype=np.int32), gy)
+                for rows, src, start, qnt in (
+                    (sel[fmtc[sel] == FMT_CODES["raw"]], data, ps, False),
+                    (sel[fmtc[sel] == FMT_CODES["qnt"]], data, ps, True),
+                    (sel[is_rle_row[sel]], decoded, rle_start, False),
+                ):
+                    k = rows.shape[0]
+                    if k == 0:
+                        continue
+                    g = src[start[rows][:, None] + span[None, :]].astype(np.int64)
+                    if qnt:
+                        g = (g << 2) + 2
+                    arr = g.reshape(k, hh, ww, 3)
+                    # clip trailing partial patches, then fold (P x P) blocks
+                    arr = arr[:, : gy * patch, : gx * patch, :]
+                    sums = arr.reshape(k, gy, patch, gx, patch, 3).sum(axis=(2, 4))
+                    o_idx.append(np.repeat(rows, gy * gx))
+                    o_py.append(np.tile(grid_y, k))
+                    o_px.append(np.tile(grid_x, k))
+                    o_sum.append(sums.reshape(k * gy * gx, 3))
+            if not o_idx:
+                continue
+            idx = np.concatenate(o_idx)
+            sums = np.concatenate(o_sum)
+            n_out = idx.shape[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(np.concatenate(o_py)),
+                    pa.array(np.concatenate(o_px)),
+                    pa.array(np.full(n_out, patch * patch, np.int64)),
+                    pa.array(sums[:, 0]),
+                    pa.array(sums[:, 1]),
+                    pa.array(sums[:, 2]),
+                ],
+                names=names,
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(_patches, PATCH_SCHEMA)

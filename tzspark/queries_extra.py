@@ -1068,6 +1068,43 @@ FROM r ORDER BY image_id
 """
 
 
+def q84_patchify(spark, sf_dir):
+    """ViT patch extraction under a value-level oracle: every image cut
+    into 8x8 patches with exact int64 per-patch channel sums (the
+    patch-embedding input a vision-transformer pipeline computes per
+    image). One mapInArrow stage (imageops.patchify): payload gather +
+    6-axis reshape fold per shape group, zero per-image Python; only the
+    sums table (<= 16 rows/image, 7 narrow columns) leaves the kernel, so
+    at 10^12 images the shuffle carries patch stats, never pixels. The
+    oracle regenerates every pixel from the synthesis arithmetic and
+    groups by (i, y//8, x//8) — integer-exact cross-engine."""
+    from .imageops import patchify
+
+    return patchify(_images(spark, sf_dir), patch=8).orderBy(
+        "image_id", "py", "px"
+    )
+
+
+def _q84_sql() -> str:
+    full_grid = f"""
+  SELECT d.i, d.w, d.h, d.fmt, d.phase, sy.v AS y, sx.v AS x
+    FROM ({_DIMS_SQL}) d
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sy ON sy.v < d.h
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sx ON sx.v < d.w"""
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(y // 8 AS INTEGER) AS py,
+       CAST(x // 8 AS INTEGER) AS px,
+       COUNT(*) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM ({_decoded_px_sql(full_grid)})
+GROUP BY 1, 2, 3
+ORDER BY image_id, py, px
+"""
+
+
 def q71_zonal_image_stats(spark, sf_dir):
     """Zonal statistics — the geospatial join and the payload path fused in
     ONE operator: every image resolves to its timezone polygon while the
@@ -1130,12 +1167,14 @@ EXTRA_QUERIES = {
     "q81_image_dedup_canonical": q81_image_dedup_canonical,
     "q82_local_time_rollup": q82_local_time_rollup,
     "q83_zone_quota_sample": q83_zone_quota_sample,
+    "q84_patchify": q84_patchify,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 EXTRA_ORACLES["q69_image_ahash_neardup"] = _q69_sql()
 EXTRA_ORACLES["q81_image_dedup_canonical"] = _q81_sql()
 EXTRA_ORACLES["q82_local_time_rollup"] = _q82_sql()
 EXTRA_ORACLES["q83_zone_quota_sample"] = _q83_sql()
+EXTRA_ORACLES["q84_patchify"] = _q84_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.

@@ -2140,7 +2140,54 @@ FROM j ORDER BY doc_id
 """
 
 
+# --- weighted source interleave (training-mix scheduler) --------------------
+
+
+def q85_mix_interleave(spark, sf_dir):
+    """Deterministic weighted data-mix interleave — the scheduler an LLM
+    training pipeline runs to blend corpora: each source s gets weight
+    w_s (here 1 + src_num % 4, the up/down-weighting of a data-mixture
+    config) and its docs are emitted with stride 1/w_s, so sorting by the
+    emitted pos_key yields the stride-scheduled training order where a
+    weight-4 source appears 4x as often per unit of key space as a
+    weight-1 source. Within a source, order is a content hash (md5), so
+    the schedule is retry/resume/partition-stable with no RNG. Scale
+    shape: ONE Exchange (hash by source) for the per-source row_number
+    window — never a global rank window; consumers range-partition on
+    pos_key to materialize the order, which Spark's orderBy does with a
+    sampled range Exchange, not a single-partition sort."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    src_num = F.substring("source", 4, 10).cast("int")
+    weight = (F.lit(1) + src_num % 4).alias("weight")
+    r = d.withColumn("r", F.row_number().over(w)).withColumn("weight", weight)
+    return r.select(
+        "doc_id",
+        "source",
+        "r",
+        "weight",
+        F.round((F.col("r") - F.lit(0.5)) / F.col("weight"), 6).alias("pos_key"),
+    ).orderBy("pos_key", "source", "r")
+
+
+Q85_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS r,
+         1 + CAST(SUBSTR(source, 4) AS INTEGER) % 4 AS weight
+  FROM documents
+)
+SELECT doc_id, source, CAST(r AS INTEGER) AS r, weight,
+       ROUND((r - 0.5) / weight, 6) AS pos_key
+FROM r ORDER BY pos_key, source, r
+"""
+
+
 TEXT_QUERIES = {
+    "q85_mix_interleave": (q85_mix_interleave, Q85_SQL),
     "q78_repetition_signals": (q78_repetition_signals, Q78_SQL),
     "q74_weighted_sample": (q74_weighted_sample, Q74_SQL),
     "q61_ivfpq_search": (q61_ivfpq_search, Q61_SQL),
