@@ -268,3 +268,33 @@ def test_mix_interleave_stride_schedule(spark, tmp_path):
     # per-source rank is a 1..n permutation (no gaps, hash order total)
     for _s, g in out.groupby("source"):
         assert sorted(g["r"]) == list(range(1, len(g) + 1))
+
+
+def test_countmin_matches_reference_sketch(spark, tmp_path):
+    """q86: the sketch estimate equals a hand-built count-min over the same
+    md5 bucketing, and never under-estimates (the CMS one-sided bound)."""
+    import hashlib
+    from collections import Counter
+
+    from tzspark.queries_text import _CMS_DEPTH, q86_countmin_tokens
+
+    texts = ["a a a a b", "b c c d e", "a e e e f g", "h h i j k l m n"]
+    sf = _write_docs(
+        spark, tmp_path, [(i, t, "en") for i, t in enumerate(texts)]
+    )
+    out = q86_countmin_tokens(spark, str(tmp_path)).toPandas()
+    toks = Counter(w for t in texts for w in t.split(" "))
+
+    def bucket(d, t):
+        return hashlib.md5(f"{d}:{t}".encode()).hexdigest()[:2]
+
+    cells = Counter()
+    for t, n in toks.items():
+        for d in range(_CMS_DEPTH):
+            cells[(d, bucket(d, t))] += n
+    assert len(out) == len(toks)  # fewer than top-k distinct tokens
+    for _, r in out.iterrows():
+        want = min(cells[(d, bucket(d, r["token"]))] for d in range(_CMS_DEPTH))
+        assert r["est_n"] == want
+        assert r["est_n"] >= r["exact_n"] == toks[r["token"]]
+        assert r["over"] == r["est_n"] - r["exact_n"]

@@ -2140,6 +2140,96 @@ FROM j ORDER BY doc_id
 """
 
 
+# --- count-min sketch (approximate token frequency) -------------------------
+
+_CMS_DEPTH = 4  # independent hash rows
+_CMS_TOPK = 50  # probe set: top-k exact tokens
+
+
+def q86_countmin_tokens(spark, sf_dir):
+    """Count-Min sketch over corpus tokens — the bounded-memory frequency
+    sketch a 100 TB corpus profiler maintains where an exact token table
+    does not fit (Cormode & Muthukrishnan 2005). Depth 4 x width 256:
+    bucket of (row d, token t) is the first 2 hex chars of md5(d ':' t),
+    so the whole sketch is one map-side-combinable (d, bucket) agg of
+    4 x 256 cells, built in one pass; estimate(t) = min over rows of its
+    bucket count (one-sided: est >= exact always). Output compares the
+    sketch estimate against the exact count for the top-50 tokens (rank
+    by count desc, token — deterministic), so over-counting from bucket
+    collisions is pinned value-for-value cross-engine. Scale shape: the
+    token explode + two aggs are the only big-data passes; the sketch
+    (1,024 rows) and the probe set (50) broadcast."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    rows = toks.select(
+        "token", F.explode(F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])).alias("d")
+    )
+    sketch = (
+        rows.groupBy(
+            "d",
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("d").cast("string"), "token")), 1, 2
+            ).alias("bucket"),
+        )
+        .agg(F.count("*").alias("cell_n"))
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k merge, never a single-partition rank window
+    # (the vocab at web scale is 10^8 distinct tokens)
+    probes = exact.orderBy(F.desc("exact_n"), "token").limit(_CMS_TOPK)
+    pd_ = probes.select(
+        "token",
+        "exact_n",
+        F.explode(F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("d").cast("string"), "token")), 1, 2
+        ),
+    )
+    est = (
+        pd_.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return est.select(
+        "token", "exact_n", "est_n", (F.col("est_n") - F.col("exact_n")).alias("over")
+    ).orderBy(F.desc("exact_n"), "token")
+
+
+Q86_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+rows_ AS (
+  SELECT token, d.v AS d,
+         substr(md5(CAST(d.v AS VARCHAR) || ':' || token), 1, 2) AS bucket
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS v) d
+),
+sketch AS (
+  SELECT d, bucket, COUNT(*) AS cell_n FROM rows_ GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY 1
+),
+probes AS (
+  SELECT token, exact_n FROM exact
+  ORDER BY exact_n DESC, token LIMIT {_CMS_TOPK}
+),
+pd_ AS (
+  SELECT p.token, p.exact_n, d.v AS d,
+         substr(md5(CAST(d.v AS VARCHAR) || ':' || p.token), 1, 2) AS bucket
+  FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS v) d
+)
+SELECT pd_.token, pd_.exact_n, MIN(s.cell_n) AS est_n,
+       MIN(s.cell_n) - pd_.exact_n AS over
+FROM pd_ JOIN sketch s USING (d, bucket)
+GROUP BY pd_.token, pd_.exact_n
+ORDER BY exact_n DESC, token
+"""
+
+
 # --- weighted source interleave (training-mix scheduler) --------------------
 
 
@@ -2187,6 +2277,7 @@ FROM r ORDER BY pos_key, source, r
 
 
 TEXT_QUERIES = {
+    "q86_countmin_tokens": (q86_countmin_tokens, Q86_SQL),
     "q85_mix_interleave": (q85_mix_interleave, Q85_SQL),
     "q78_repetition_signals": (q78_repetition_signals, Q78_SQL),
     "q74_weighted_sample": (q74_weighted_sample, Q74_SQL),
