@@ -327,3 +327,56 @@ def test_proximity_join_at_scale_planted_cluster(spark):
     for a, b in got:
         d2 = (la[a] - la[b]) ** 2 + (lg[a] - lg[b]) ** 2
         assert d2 <= 0.25 + 1e-12, (a, b, d2)
+
+
+def test_runtime_bloom_filter_prunes_cell_join(spark, tmp_path):
+    """The 100 TB cover-as-table join regime is runtime-filter-compatible:
+    when the cover side carries a selective predicate (a tenant / bbox
+    restriction), Spark's InjectRuntimeFilter builds a bloom filter from it
+    and applies might_contain() on the huge points side BEFORE the shuffle,
+    pruning rows that cannot match. This pins the conf set that makes the
+    optimizer inject it and that both join inputs are plain-column keys the
+    filter can attach to (a derived-expression key would block it)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # engine-shaped tables: points carry a materialized cell_id column
+        # (the facade's assign_join persists exactly this), cover cells too
+        pts = (
+            spark.range(0, 200_000)
+            .withColumn("lat", (F.col("id") % 180 - 90).cast("double"))
+            .withColumn("lng", (F.col("id") % 360 - 180).cast("double"))
+            .withColumn("cell_id", cell_id_col(F.col("lat"), F.col("lng"), 7))
+        )
+        pts.write.mode("overwrite").parquet(f"{tmp_path}/pts")
+        cover = (
+            spark.range(0, 50_000)
+            .withColumn("cell_id", F.col("id") * 7919)
+            .withColumn("zone_id", (F.col("id") % 97).cast("int"))
+        )
+        cover.write.mode("overwrite").parquet(f"{tmp_path}/cover")
+        p = spark.read.parquet(f"{tmp_path}/pts")
+        c = spark.read.parquet(f"{tmp_path}/cover").where(F.col("zone_id") < 5)
+        j = p.join(c, "cell_id")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+        assert "might_contain" in plan
+        # and the join still computes the right thing under the filter
+        n = j.count()
+        want = p.join(c.hint("broadcast"), "cell_id").count()
+        assert n == want
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
