@@ -228,3 +228,25 @@ def test_cli_build_from_url(tmp_path, capsys, monkeypatch):
 
     rc = main(["-build", "-url", "https://example.com/not-a-zip.tar", "-db", db])
     assert rc == 1 and "not a zip" in capsys.readouterr().err
+
+
+def test_geojson_roundtrip_exact(tmp_path):
+    """write_geojson_zip -> zones_from_geojson_zip restores the exact zone
+    table: dense ids, tzids, bitwise-identical float32 rings."""
+    from tzspark.geojson import write_geojson_zip, zones_to_geojson
+
+    zones = make_zones(n_coast=500)
+    path = write_geojson_zip(zones, str(tmp_path / "export.zip"))
+    back = zones_from_geojson_zip(path)
+    assert len(back) == len(zones)
+    for a, b in zip(zones, back):
+        assert (a.zone_id, a.tzid) == (b.zone_id, b.tzid)
+        assert np.array_equal(a.ring_lat, b.ring_lat)
+        assert np.array_equal(a.ring_lng, b.ring_lng)
+    # same-tzid runs collapse into one MultiPolygon feature
+    obj = zones_to_geojson(zones)
+    n_tzid_runs = 1 + sum(
+        1 for i in range(1, len(zones)) if zones[i].tzid != zones[i - 1].tzid
+    )
+    assert len(obj["features"]) == n_tzid_runs
+    assert all(f["geometry"]["type"] == "MultiPolygon" for f in obj["features"])

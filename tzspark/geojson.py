@@ -136,3 +136,45 @@ def zones_from_geojson_zip(path: str, mode: str = "rings") -> list:
                 obj = json.load(io.TextIOWrapper(f, "utf-8"))
             zones.extend(zones_from_geojson(obj, mode, start_id=len(zones)))
     return zones
+
+
+def zones_to_geojson(zones: list) -> dict:
+    """Zone table -> GeoJSON FeatureCollection (the sink symmetric to
+    zones_from_geojson): adjacent same-tzid zones collapse into one
+    MultiPolygon feature with one ring per zone, preserving zone order, so
+    a round-trip through zones_from_geojson (mode='rings') restores the
+    exact store — same dense ids, tzids, and float32 vertices (Python's
+    shortest-repr floats parse back to the identical float32). Coordinates
+    are emitted [lng, lat] per the GeoJSON spec, mirroring the reader's
+    swap."""
+    feats = []
+    for z in zones:
+        ring = [
+            [float(lg), float(la)]
+            for la, lg in zip(z.ring_lat.tolist(), z.ring_lng.tolist())
+        ]
+        if feats and feats[-1]["properties"]["tzid"] == z.tzid:
+            feats[-1]["geometry"]["coordinates"].append([ring])
+        else:
+            feats.append(
+                {
+                    "type": "Feature",
+                    "properties": {"tzid": z.tzid},
+                    "geometry": {
+                        "type": "MultiPolygon",
+                        "coordinates": [[ring]],
+                    },
+                }
+            )
+    return {"type": "FeatureCollection", "features": feats}
+
+
+def write_geojson_zip(zones: list, path: str, member: str = "zones.json") -> str:
+    """Serialize the zone table into the exact artifact the importer
+    consumes (a zip holding one FeatureCollection member) — the export
+    path a migration user runs to hand a compiled store back to the
+    reference's -build flow (import.go:52-60 member filter)."""
+    obj = zones_to_geojson(zones)
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(member, json.dumps(obj, separators=(",", ":")))
+    return path
