@@ -212,3 +212,49 @@ def test_patchify_equals_decode_loop(spark, imgs):
                     blk[..., 2].sum(),
                 )
     assert len(out) == n_expect
+
+
+def test_flip_images_equals_decode_loop(spark, imgs):
+    """The grouped mirrored-gather flip must emit byte-identical blobs to a
+    per-image decode -> np.flip -> re-encode reference."""
+    from tzspark.imageops import _encode_raw, flip_images
+
+    out = flip_images(imgs).toPandas().set_index("image_id").sort_index()
+    rows = imgs.select("image_id", "bytes").toPandas()
+    for _, row in rows.iterrows():
+        lat, lng, pix = decode_image(bytes(row["bytes"]))
+        want = _encode_raw(float(lat), float(lng), pix[:, ::-1, :])
+        got = out.loc[row["image_id"]]
+        assert bytes(got["bytes"]) == want
+        assert got["fmt"] == "raw"
+    # flip is an involution through the kernel: flip(flip(x)) == decode(x)
+    twice = (
+        flip_images(
+            flip_images(imgs).select(
+                "image_id", "bytes"
+            )
+        )
+        .toPandas()
+        .set_index("image_id")
+        .sort_index()
+    )
+    for _, row in rows.iterrows():
+        lat, lng, pix = decode_image(bytes(row["bytes"]))
+        want = _encode_raw(float(lat), float(lng), pix)
+        assert bytes(twice.loc[row["image_id"]]["bytes"]) == want
+
+
+def test_flip_images_mixed_failures(spark):
+    """Garbage blobs route to null bytes, good rows still flip."""
+    from tzspark.datasets import images_df
+    from tzspark.imageops import flip_images
+
+    good = images_df(spark, 6, partitions=1).select("image_id", "bytes")
+    bad = spark.createDataFrame(
+        [("imgBAD", bytearray(b"nonsense")), ("imgSHORT", bytearray(b"\x01"))],
+        "image_id string, bytes binary",
+    )
+    out = flip_images(good.unionByName(bad)).toPandas().set_index("image_id")
+    assert out.loc["imgBAD"]["bytes"] is None
+    assert out.loc["imgSHORT"]["bytes"] is None
+    assert sum(1 for b in out["bytes"] if b is not None) == 6

@@ -479,3 +479,107 @@ def patchify(images: DataFrame, patch: int = 8) -> DataFrame:
             )
 
     return images.select("image_id", "bytes").mapInArrow(_patches, PATCH_SCHEMA)
+
+
+def flip_images(images: DataFrame) -> DataFrame:
+    """Horizontal-flip augmentation: mirror every image left-right and
+    re-encode losslessly (raw) with the original GPS header — the
+    deterministic member of a training-augmentation stage. Same zero-copy
+    shape as resize_images: per (h, w)-shape group ONE mirrored fancy-index
+    gather straight off the packed payload stream (raw/qnt: Arrow data
+    buffer; rle: the single global decode), the whole output column built
+    as one (n, len) uint8 matrix — no per-image Python, no (h, w, 3)
+    intermediates."""
+    import pyarrow as pa
+
+    from .engine import _arrow_binary_view
+    from .imagecodec import _HEADER_DTYPE, MAGIC, batch_image_stats
+
+    out_names = ["image_id", "bytes", "w", "h", "fmt"]
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("w", T.IntegerType(), True),
+            T.StructField("h", T.IntegerType(), True),
+            T.StructField("fmt", T.StringType(), True),
+        ]
+    )
+
+    def _flip(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            st = batch_image_stats(data, offs, keep_decoded=True)
+            ok = st["ok"] if valid is None else st["ok"] & valid
+            n = len(ok)
+            bad = ~ok
+            ps = offs[:-1] + HEADER_LEN
+            decoded, dstart, rle_rows, good = st["rle"]
+            rle_start = np.full(n, -1, np.int64)
+            rle_start[rle_rows[good]] = dstart[:-1][good]
+            is_rle_row = np.zeros(n, bool)
+            is_rle_row[rle_rows] = True
+            fmtc = st["fmt_code"]
+            h64, w64 = st["h"], st["w"]
+            okw = np.flatnonzero(ok)
+            # variable shapes -> variable blob lengths; build per-shape and
+            # scatter into one concatenated values buffer
+            lens = np.where(ok, HEADER_LEN + 3 * st["n_pixels"], 0).astype(np.int64)
+            off32 = np.zeros(n + 1, np.int32)
+            off32[1:] = np.cumsum(lens).astype(np.int32)
+            values = np.zeros(int(off32[-1]), np.uint8)
+            hdrs = np.zeros(n, dtype=_HEADER_DTYPE)
+            hdrs["magic"] = MAGIC
+            hdrs["lat"] = st["lat"]
+            hdrs["lng"] = st["lng"]
+            hdrs["w"] = w64
+            hdrs["h"] = h64
+            hdrs["fmt"] = FMT_CODES["raw"]
+            hview = hdrs.view(np.uint8).reshape(n, HEADER_LEN)
+            if okw.size:
+                values[
+                    off32[okw][:, None] + np.arange(HEADER_LEN, dtype=np.int64)
+                ] = hview[okw]
+            for hh, ww in sorted(set(zip(h64[okw].tolist(), w64[okw].tolist()))):
+                sel = okw[(h64[okw] == hh) & (w64[okw] == ww)]
+                yy, xx = np.meshgrid(
+                    np.arange(hh, dtype=np.int64),
+                    np.arange(ww, dtype=np.int64),
+                    indexing="ij",
+                )
+                pos = (3 * (yy * ww + (ww - 1 - xx))).reshape(-1)
+                pos3 = (pos[:, None] + np.arange(3)).reshape(-1)
+                npb = 3 * hh * ww
+                for rows, src, start, qnt in (
+                    (sel[fmtc[sel] == FMT_CODES["raw"]], data, ps, False),
+                    (sel[fmtc[sel] == FMT_CODES["qnt"]], data, ps, True),
+                    (sel[is_rle_row[sel]], decoded, rle_start, False),
+                ):
+                    if rows.shape[0] == 0:
+                        continue
+                    g = src[start[rows][:, None] + pos3[None, :]]
+                    if qnt:
+                        g = ((g.astype(np.uint16) << 2) + 2).astype(np.uint8)
+                    dst = (off32[rows] + HEADER_LEN).astype(np.int64)
+                    values[dst[:, None] + np.arange(npb, dtype=np.int64)] = g
+            validity = (
+                None if ok.all() else pa.py_buffer(np.packbits(ok, bitorder="little"))
+            )
+            bytes_arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [validity, pa.py_buffer(off32), pa.py_buffer(values.tobytes())],
+                null_count=int(bad.sum()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    bytes_arr,
+                    pa.array(w64.astype(np.int32), mask=bad),
+                    pa.array(h64.astype(np.int32), mask=bad),
+                    pa.array(np.where(ok, "raw", None)),
+                ],
+                names=out_names,
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(_flip, out_schema)

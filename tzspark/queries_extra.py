@@ -1105,6 +1105,43 @@ ORDER BY image_id, py, px
 """
 
 
+def q87_flip_patchify(spark, sf_dir):
+    """Horizontal-flip augmentation pinned value-exactly THROUGH the patch
+    fold: q84's patch extraction run over imageops.flip_images output. A
+    mirrored image's (py, px) patch holds exactly the original's
+    (py, gx-1-px) pixel set (w is a multiple of the patch size), so the
+    oracle is the pixel-synthesis patch sum with the patch column
+    mirrored — any off-by-one in the flip gather, the re-encode, or the
+    patch fold hash-fails. Two chained mapInArrow stages (flip -> patch),
+    both zero per-image Python; at scale the flip stage streams blobs
+    through one batch gather and the patch stage emits only sums."""
+    from .imageops import flip_images, patchify
+
+    return patchify(
+        flip_images(_images(spark, sf_dir)), patch=8
+    ).orderBy("image_id", "py", "px")
+
+
+def _q87_sql() -> str:
+    full_grid = f"""
+  SELECT d.i, d.w, d.h, d.fmt, d.phase, sy.v AS y, sx.v AS x
+    FROM ({_DIMS_SQL}) d
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sy ON sy.v < d.h
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sx ON sx.v < d.w"""
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(y // 8 AS INTEGER) AS py,
+       CAST(w // 8 - 1 - x // 8 AS INTEGER) AS px,
+       COUNT(*) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM ({_decoded_px_sql(full_grid)})
+GROUP BY 1, 2, 3
+ORDER BY image_id, py, px
+"""
+
+
 def q71_zonal_image_stats(spark, sf_dir):
     """Zonal statistics — the geospatial join and the payload path fused in
     ONE operator: every image resolves to its timezone polygon while the
@@ -1168,6 +1205,7 @@ EXTRA_QUERIES = {
     "q82_local_time_rollup": q82_local_time_rollup,
     "q83_zone_quota_sample": q83_zone_quota_sample,
     "q84_patchify": q84_patchify,
+    "q87_flip_patchify": q87_flip_patchify,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 EXTRA_ORACLES["q69_image_ahash_neardup"] = _q69_sql()
@@ -1175,6 +1213,7 @@ EXTRA_ORACLES["q81_image_dedup_canonical"] = _q81_sql()
 EXTRA_ORACLES["q82_local_time_rollup"] = _q82_sql()
 EXTRA_ORACLES["q83_zone_quota_sample"] = _q83_sql()
 EXTRA_ORACLES["q84_patchify"] = _q84_sql()
+EXTRA_ORACLES["q87_flip_patchify"] = _q87_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.
