@@ -2196,7 +2196,70 @@ FROM per_bucket GROUP BY layout ORDER BY layout
 """
 
 
+def q88_zone_value_quantiles(spark, sf_dir):
+    """Per-zone value-distribution profile — exact distributed quantiles
+    (p25/p50/p90/p99) of the event metric per resolved timezone polygon,
+    the latency/metric-percentile rollup every geo-observability pipeline
+    runs. Zone resolution reuses the broadcast compiled-cover probe (one
+    Arrow stage); Spark's exact `percentile` agg matches DuckDB's
+    quantile_cont interpolation (rank p*(n-1), linear) so the profile is
+    value-pinned cross-engine. Scale shape: percentile is a full-sort agg
+    per group — |zones| groups bound the state, partial aggregation
+    buckets per group before the one Exchange; for 10^12 rows you'd swap
+    in approx_percentile with a documented error bound, keeping this
+    exact form as the oracle anchor on samples."""
+    from .cells import compile_cover
+    from .engine import resolve_only_udf
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    bidx = spark.sparkContext.broadcast(idx)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.select(
+        "event_id",
+        "value",
+        ((F.col("user_id") * 7 % 180) - 90 + F.col("value") / 1e6).alias("lat"),
+        ((F.col("event_id") * 13 % 360) - 180).cast("double").alias("lng"),
+    )
+    r = p.select(
+        "value",
+        resolve_only_udf(bidx)(F.col("lat"), F.col("lng")).alias("zone_id"),
+    )
+    q = F.expr("percentile(value, array(0.25D, 0.5D, 0.9D, 0.99D))")
+    return (
+        r.groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(q[0], 6).alias("p25"),
+            F.round(q[1], 6).alias("p50"),
+            F.round(q[2], 6).alias("p90"),
+            F.round(q[3], 6).alias("p99"),
+        )
+        .orderBy("zone_id")
+    )
+
+
+Q88_SQL = f"""
+WITH pts AS ({PTS_SQL}), boxes AS ({BOXES_SQL}),
+r AS (
+  SELECT p.event_id,
+         CAST(COALESCE(MIN(CASE WHEN {_CONTAIN_F32} THEN b.zone_id END), -1) AS INTEGER) AS zone_id
+  FROM pts p CROSS JOIN boxes b
+  GROUP BY p.event_id
+)
+SELECT r.zone_id, COUNT(*) AS n,
+       ROUND(quantile_cont(e.value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(e.value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(e.value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(e.value, 0.99), 6) AS p99
+FROM r JOIN events e USING (event_id)
+GROUP BY r.zone_id
+ORDER BY r.zone_id
+"""
+
+
 GEO_QUERIES = {
+    "q88_zone_value_quantiles": (q88_zone_value_quantiles, Q88_SQL),
     "q80_zorder_layout": (q80_zorder_layout, _q80_sql()),
     "q79_geohash": (q79_geohash, _q79_sql()),
     "q77_knn_points_join": (q77_knn_points_join, Q77_SQL),
