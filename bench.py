@@ -317,9 +317,41 @@ def headline_queries(spark, images):
 
         return pq_adc_topk_arrow(pq_codes, pq_cent, pq_probes, k=10)
 
+    def _patchify():
+        # ViT patch extraction over the full 1M-image payload: one
+        # mapInArrow fold; the agg forces every patch sum without shipping
+        # the ~12M-row patch table to the driver
+        from tzspark.imageops import patchify
+
+        return (
+            patchify(images, patch=8)
+            .groupBy()
+            .agg(
+                F.count("*").alias("n_patches"),
+                F.sum("sum_r").alias("s_r"),
+                F.sum("sum_g").alias("s_g"),
+                F.sum("sum_b").alias("s_b"),
+            )
+        )
+
+    def _ahash():
+        # perceptual-hash pass over the full payload + the exact-collision
+        # collapse — the front half of the image dedup pipeline (q81)
+        from tzspark.imageops import image_ahash
+
+        return (
+            image_ahash(images.select("image_id", "bytes"))
+            .groupBy("b0", "b1", "b2", "b3")
+            .agg(F.count("*").alias("n"), F.min("image_id").alias("rep"))
+            .groupBy()
+            .agg(F.count("*").alias("n_distinct"), F.sum("n").alias("n_imgs"))
+        )
+
     return {
         "sq8_search_1m": _sq8_search,
         "pq_search_1m": _pq_search,
+        "patchify_1m": _patchify,
+        "image_ahash_dedup_1m": _ahash,
         "proximity_pairs": _proximity,
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
