@@ -380,3 +380,34 @@ def test_runtime_bloom_filter_prunes_cell_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_approx_aggregates_bounded_against_exact(spark):
+    """The documented 10^12-row swaps (q88 percentile -> approx_percentile,
+    exact distinct -> approx_count_distinct) hold their error bounds on this
+    data: approx_percentile with accuracy A lands within 1/A of the exact
+    rank, approx_count_distinct within its ~2.3% HLL++ rsd at default
+    precision (asserted at 3 sigma)."""
+    sf = "/root/testdata/sf0.01"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact_p, approx_p = ev.select(
+        F.expr("percentile(value, 0.9)").alias("e"),
+        F.expr("approx_percentile(value, 0.9, 10000)").alias("a"),
+    ).first()
+    # rank error <= n/accuracy; translate to a value window via nearby ranks
+    n = ev.count()
+    eps_rank = n / 10000 + 1
+    lo, hi = ev.select(
+        F.expr(f"percentile(value, greatest(0.0, 0.9 - {eps_rank}/{n}))"),
+        F.expr(f"percentile(value, least(1.0, 0.9 + {eps_rank}/{n}))"),
+    ).first()
+    assert lo <= approx_p <= hi, (exact_p, approx_p, lo, hi)
+
+    exact_u, approx_u = ev.select(
+        F.countDistinct("user_id").alias("e"),
+        F.expr("approx_count_distinct(user_id)").alias("a"),
+    ).first()
+    assert abs(approx_u - exact_u) <= max(3 * 0.023 * exact_u, 1.0), (
+        exact_u,
+        approx_u,
+    )
