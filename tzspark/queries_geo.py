@@ -520,6 +520,89 @@ GROUP BY p.event_id
 """
 
 
+_CUTOVER = "2024-01-15 00:00:00"
+
+
+def q89_versioned_resolve(spark, sf_dir):
+    """Slowly-changing zone dimension (SCD2) resolve — the real-world tzdb
+    problem: boundaries change over time (the reference re-downloads the
+    GeoJSON per release, import.go:68-90), so an event must resolve
+    against the zone VERSION valid at its timestamp. v0 = the original
+    boxes; v1 = q43's mutated set (zone 7 deleted, 12 grown, 100 added),
+    effective at the cutover. Implementation: one compiled cover per
+    version, events sliced by event time, each slice probed with its
+    epoch's broadcast, slices unioned — at 10^12 rows the time slice is a
+    parquet partition-prune (events are date-partitioned), so each epoch's
+    backfill scans only its own files and no row is probed twice."""
+    from .cells import add_zone, delete_zone, replace_zone
+    from .engine import resolve_only_udf
+
+    zones = box_zones(spark, sf_dir)
+    idx0 = compile_cover(zones, base_res=3, max_res=7)
+    old = {int(z.zone_id): z for z in zones}[12]
+    la0 = old.ring_lat.min() - np.float32(6)
+    la1 = old.ring_lat.max() + np.float32(4)
+    lg0 = old.ring_lng.min() - np.float32(20)
+    lg1 = old.ring_lng.max() + np.float32(6)
+    grown = Zone(
+        12, old.tzid,
+        np.array([la0, la0, la1, la1], F32), np.array([lg0, lg1, lg1, lg0], F32),
+    )
+    added = Zone(
+        100, "Test/Added",
+        np.array([40, 40, 52, 52], F32), np.array([-170, -150, -150, -170], F32),
+    )
+    idx1 = add_zone(replace_zone(delete_zone(idx0, 7), grown), added)
+    b0 = spark.sparkContext.broadcast(idx0)
+    b1 = spark.sparkContext.broadcast(idx1)
+    p = pts_df(spark, sf_dir, with_user=True)
+    cut = F.lit(_CUTOVER).cast("timestamp")
+    out0 = p.where(F.col("ts") < cut).select(
+        "event_id",
+        F.lit("v0").alias("zone_version"),
+        resolve_only_udf(b0)(F.col("lat"), F.col("lng")).alias("zone_id"),
+    )
+    out1 = p.where(F.col("ts") >= cut).select(
+        "event_id",
+        F.lit("v1").alias("zone_version"),
+        resolve_only_udf(b1)(F.col("lat"), F.col("lng")).alias("zone_id"),
+    )
+    return out0.unionByName(out1).orderBy("event_id")
+
+
+Q89_SQL = f"""
+WITH pts AS (
+SELECT event_id, ts,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+boxes0 AS ({BOXES_SQL}),
+boxes1 AS (
+  SELECT zone_id, tzid,
+         CASE WHEN zone_id = 12 THEN min_lat - 6 ELSE min_lat END AS min_lat,
+         CASE WHEN zone_id = 12 THEN max_lat + 4 ELSE max_lat END AS max_lat,
+         CASE WHEN zone_id = 12 THEN min_lng - 20 ELSE min_lng END AS min_lng,
+         CASE WHEN zone_id = 12 THEN max_lng + 6 ELSE max_lng END AS max_lng
+  FROM boxes0 WHERE zone_id <> 7
+  UNION ALL
+  SELECT 100, 'Test/Added', 40.0, 52.0, -170.0, -150.0
+)
+SELECT p.event_id, 'v0' AS zone_version,
+       CAST(COALESCE(MIN(CASE WHEN {_CONTAIN_F32} THEN b.zone_id END), -1) AS INTEGER) AS zone_id
+FROM pts p CROSS JOIN boxes0 b
+WHERE p.ts < TIMESTAMP '{_CUTOVER}'
+GROUP BY p.event_id
+UNION ALL
+SELECT p.event_id, 'v1' AS zone_version,
+       CAST(COALESCE(MIN(CASE WHEN {_CONTAIN_F32} THEN b.zone_id END), -1) AS INTEGER) AS zone_id
+FROM pts p CROSS JOIN boxes1 b
+WHERE p.ts >= TIMESTAMP '{_CUTOVER}'
+GROUP BY p.event_id
+ORDER BY event_id
+"""
+
+
 def q28_frame_sample(spark, sf_dir):
     """Deterministic every-k-th sampling per group (the video frame-sample
     operator, imageops.frame_sample) demonstrated on events per user."""
@@ -2259,6 +2342,7 @@ ORDER BY r.zone_id
 
 
 GEO_QUERIES = {
+    "q89_versioned_resolve": (q89_versioned_resolve, Q89_SQL),
     "q88_zone_value_quantiles": (q88_zone_value_quantiles, Q88_SQL),
     "q80_zorder_layout": (q80_zorder_layout, _q80_sql()),
     "q79_geohash": (q79_geohash, _q79_sql()),
