@@ -298,3 +298,34 @@ def test_countmin_matches_reference_sketch(spark, tmp_path):
         assert r["est_n"] == want
         assert r["est_n"] >= r["exact_n"] == toks[r["token"]]
         assert r["over"] == r["est_n"] - r["exact_n"]
+
+
+def test_bm25_hand_computed(spark, tmp_path):
+    """q90: score pinned against a by-hand BM25 on a 3-doc corpus."""
+    import math
+
+    from tzspark.queries_text import _BM25_B, _BM25_K1, q90_bm25_rank
+
+    texts = {
+        1: "hash join hash probe",     # hash tf=2, join tf=1, dl=4
+        2: "filter scan scan scan",    # filter tf=1, dl=4
+        3: "slow slow slow slow slow slow slow nothing",  # slow tf=7, dl=8
+    }
+    sf = _write_docs(
+        spark, tmp_path, [(i, t, "en") for i, t in texts.items()]
+    )
+    out = {r["doc_id"]: r["bm25"] for r in q90_bm25_rank(spark, str(tmp_path)).collect()}
+    n, avgdl = 3.0, (4 + 4 + 8) / 3.0
+
+    def bm25(pairs, dl):
+        s = 0.0
+        for tf, df in pairs:
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * tf * (_BM25_K1 + 1) / (
+                tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avgdl)
+            )
+        return round(s, 6)
+
+    assert out[1] == pytest.approx(bm25([(2, 1), (1, 1)], 4), abs=1e-6)
+    assert out[2] == pytest.approx(bm25([(1, 1)], 4), abs=1e-6)
+    assert out[3] == pytest.approx(bm25([(7, 1)], 8), abs=1e-6)

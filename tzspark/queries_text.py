@@ -2140,6 +2140,86 @@ FROM j ORDER BY doc_id
 """
 
 
+# --- BM25 retrieval scoring --------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("hash", "join", "filter", "slow")
+_BM25_TOPK = 100
+
+
+def q90_bm25_rank(spark, sf_dir):
+    """BM25 document ranking — the retrieval scorer a training-data
+    curation pipeline uses to mine query-relevant documents (Robertson/
+    Lucene idf form: ln((N - df + 0.5)/(df + 0.5) + 1)). Everything is
+    relational: tf per (doc, query term) from one explode+filter (the
+    explode is pre-filtered to the |Q| query terms, so the shuffled pair
+    table is |Q|-bounded per doc, never vocabulary-wide), dl from the
+    token count column expression, N/avgdl as one broadcast scalar agg,
+    df as a broadcast |Q|-row agg. Top-k via orderBy+limit
+    (TakeOrderedAndProject — distributed heads merge, no global window)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    d = d.withColumn("dl", F.size("toks").cast("double"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc_id", "dl", F.explode("toks").alias("token"))
+        .where(F.col("token").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    j = tf.join(F.broadcast(dfreq), "token").crossJoin(F.broadcast(stats))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+    return (
+        j.groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"), F.count("*").alias("n_terms"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+Q90_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM d
+),
+tf AS (
+  SELECT doc_id, dl, token, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM d)
+  WHERE token IN ({_BM25_Q_SQL})
+  GROUP BY doc_id, dl, token
+),
+dfreq AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token
+)
+SELECT t.doc_id,
+       ROUND(SUM(
+         LN((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * (t.tf * ({_BM25_K1} + 1.0))
+         / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * t.dl / s.avgdl))
+       ), 6) AS bm25,
+       COUNT(*) AS n_terms
+FROM tf t JOIN dfreq f USING (token) CROSS JOIN stats s
+GROUP BY t.doc_id
+ORDER BY bm25 DESC, t.doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
 # --- count-min sketch (approximate token frequency) -------------------------
 
 _CMS_DEPTH = 4  # independent hash rows
@@ -2277,6 +2357,7 @@ FROM r ORDER BY pos_key, source, r
 
 
 TEXT_QUERIES = {
+    "q90_bm25_rank": (q90_bm25_rank, Q90_SQL),
     "q86_countmin_tokens": (q86_countmin_tokens, Q86_SQL),
     "q85_mix_interleave": (q85_mix_interleave, Q85_SQL),
     "q78_repetition_signals": (q78_repetition_signals, Q78_SQL),
