@@ -495,6 +495,33 @@ def main():
     ):
         failures.append("interleave: window lost its source partitioning")
 
+    from tzspark.queries_geo import q89_versioned_resolve
+    from tzspark.queries_text import q90_bm25_rank
+
+    p27 = plan_of(q89_versioned_resolve(spark, sf001))
+    sections.append(("versioned zone resolve (per-epoch broadcast probes)", p27))
+    if len(re.findall(r"\(\d+\) ArrowEvalPython", p27)) != 2:
+        failures.append("versioned: expected exactly TWO Arrow probes (one per epoch)")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p27):
+        failures.append("versioned: unexpected cross join")
+    # each epoch slice must filter on ts BEFORE its probe (the
+    # partition-prune shape at scale)
+    if len(re.findall(r"PushedFilters: \[[^\]]*IsNotNull\(ts\)", p27)) < 1 and not re.search(
+        r"Filter.*ts", p27
+    ):
+        failures.append("versioned: time-slice filter missing below the probes")
+
+    p28 = plan_of(q90_bm25_rank(spark, sf001))
+    sections.append(("BM25 ranking (Q-bounded explode, distributed top-k)", p28))
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas", p28):
+        failures.append("bm25: unexpected Python stage (pure column ops)")
+    if not re.search(r"TakeOrderedAndProject", p28):
+        failures.append("bm25: top-k is not a distributed TakeOrderedAndProject")
+    if re.search(r"CartesianProduct(?!.*stats)", p28) and not re.search(
+        r"BroadcastNestedLoopJoin|BroadcastExchange", p28
+    ):
+        failures.append("bm25: scalar-stats attach is not a broadcast")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -551,6 +578,10 @@ def main():
             "patch sums leave the kernel\n"
             "- mix interleave: source-partitioned window, zero Python "
             "stages, no global rank\n"
+            "- versioned resolve: two Arrow probes (one per epoch), "
+            "time-slice filters below them, no cross join\n"
+            "- bm25: zero Python stages, broadcast stats, distributed "
+            "TakeOrderedAndProject top-k\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))
