@@ -2341,7 +2341,62 @@ ORDER BY r.zone_id
 """
 
 
+def q91_stream_window_counts(spark, sf_dir):
+    """Event-time windowed per-tile counts executed as a Structured
+    Streaming query (watermark + window agg + Trigger.AvailableNow +
+    memory sink) — the stream form of the q06 tile rollup, under the same
+    value gate as batch: the oracle recomputes the epoch-aligned 10-minute
+    buckets and cell encode relationally, so the streaming engine's window
+    assignment, watermark bookkeeping, and state-store aggregation all
+    hash-match batch SQL. Plan at scale: parquet-file micro-batches,
+    state bounded by |open windows| x |cells|, complete-mode drain (a
+    backfill wants every window; late-data drop semantics are pinned
+    separately in tests/test_streaming.py)."""
+    import tempfile
+
+    from .cells import cell_id_col
+    from .streaming import run_available_now
+
+    tmp = tempfile.mkdtemp(prefix="tzq91_")
+    pts_df(spark, sf_dir, with_user=True).select("event_id", "ts", "lat", "lng").coalesce(
+        8
+    ).write.mode("overwrite").parquet(f"{tmp}/pts")
+    schema = "event_id bigint, ts timestamp, lat double, lng double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{tmp}/pts")
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            cell_id_col(F.col("lat"), F.col("lng"), 6).alias("cell_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "cell_id", "n_events")
+    )
+    run_available_now(agg, f"{tmp}/ckpt", "q91_out")
+    return spark.table("q91_out").orderBy("window_start", "cell_id")
+
+
+def _q91_sql() -> str:
+    from .cells import cell_id_sql
+
+    return f"""
+WITH pts AS ({PTS_SQL}),
+j AS (SELECT p.lat, p.lng, e.ts FROM pts p JOIN events e USING (event_id))
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       {cell_id_sql('lat', 'lng', 6)} AS cell_id,
+       COUNT(*) AS n_events
+FROM j
+GROUP BY 1, 2
+ORDER BY window_start, cell_id
+"""
+
+
 GEO_QUERIES = {
+    "q91_stream_window_counts": (q91_stream_window_counts, _q91_sql()),
     "q89_versioned_resolve": (q89_versioned_resolve, Q89_SQL),
     "q88_zone_value_quantiles": (q88_zone_value_quantiles, Q88_SQL),
     "q80_zorder_layout": (q80_zorder_layout, _q80_sql()),
