@@ -175,3 +175,32 @@ def test_resume_from_snapshot_checkpoint(spark, tmp_path):
     r3 = run_resumable_snapshots(spark, imgs, "image_id", root, transform)
     assert r3.count() == N and processed == [100, 200]  # nothing recomputed
     assert vt.current_snapshot_id() == before  # and nothing committed
+
+
+def test_commit_merge_upsert_semantics(spark, tmp_path):
+    """MERGE (copy-on-write): matched keys replaced, unmatched kept, new
+    keys inserted — as one snapshot; the parent still reads pre-merge."""
+    vt = VersionedTable(spark, str(tmp_path / "m"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    s1 = vt.commit_overwrite(base)
+    source = spark.createDataFrame(
+        [(2, "B"), (4, "D")], "k int, v string"  # update k=2, insert k=4
+    )
+    s2 = vt.commit_merge(source, ["k"])
+    assert (s1, s2) == (1, 2)
+
+    got = {r["k"]: r["v"] for r in vt.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+    # time travel still sees the pre-merge table
+    pre = {r["k"]: r["v"] for r in vt.read(snapshot_id=1).collect()}
+    assert pre == {1: "a", 2: "b", 3: "c"}
+    snaps = {s["snapshot_id"]: s for s in vt.snapshots()}
+    assert snaps[2]["operation"] == "merge" and snaps[2]["parent_id"] == 1
+    # COW: the merge snapshot owns exactly its rewritten data dirs
+    assert len(snaps[2]["data_dirs"]) == 1
+    # idempotence guard: merging the same source again changes nothing
+    vt.commit_merge(source, ["k"])
+    again = {r["k"]: r["v"] for r in vt.read().collect()}
+    assert again == got

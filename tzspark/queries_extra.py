@@ -709,6 +709,62 @@ ORDER BY snapshot_id
 """
 
 
+def q92_snapshot_merge(spark, sf_dir):
+    """MERGE INTO under the value gate (snapshots.commit_merge, the
+    copy-on-write Iceberg strategy): the table starts as the even-id
+    events, then one merge UPDATES the id%4==0 rows (value doubled) and
+    INSERTS the odd-id rows. The query rolls up the pre-merge snapshot
+    (time travel AFTER the merge landed) AND the post-merge table; the
+    oracle recomputes both states from the source rows, so a lost update,
+    a double-applied insert, phantom rows from the anti-join, or
+    cross-snapshot leakage all hash-fail."""
+    import tempfile
+
+    from .snapshots import VersionedTable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="tzq92_"))
+    vt.commit_overwrite(ev.where(F.col("event_id") % 2 == 0))
+    source = (
+        ev.where(F.col("event_id") % 4 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .unionByName(ev.where(F.col("event_id") % 2 == 1))
+    )
+    vt.commit_merge(source, ["event_id"])
+
+    def roll(df, sid):
+        return df.agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum("event_id").alias("sum_event_id"),
+        ).select(
+            F.lit(sid).cast("int").alias("snapshot_id"),
+            "n_events", "sum_value", "sum_event_id",
+        )
+
+    return (
+        roll(vt.read(snapshot_id=1), 1)
+        .unionAll(roll(vt.read(), 2))
+        .orderBy("snapshot_id")
+    )
+
+
+Q92_SQL = """
+SELECT 1 AS snapshot_id, count(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events WHERE event_id % 2 = 0
+UNION ALL
+SELECT 2, count(*),
+       ROUND(SUM(CASE WHEN event_id % 4 = 0 THEN value * 2 ELSE value END), 4),
+       CAST(SUM(event_id) AS BIGINT)
+FROM events
+ORDER BY snapshot_id
+"""
+
+
 _AHASH_HAM_MAX = 3
 
 
@@ -1206,8 +1262,10 @@ EXTRA_QUERIES = {
     "q83_zone_quota_sample": q83_zone_quota_sample,
     "q84_patchify": q84_patchify,
     "q87_flip_patchify": q87_flip_patchify,
+    "q92_snapshot_merge": q92_snapshot_merge,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
+EXTRA_ORACLES["q92_snapshot_merge"] = Q92_SQL
 EXTRA_ORACLES["q69_image_ahash_neardup"] = _q69_sql()
 EXTRA_ORACLES["q81_image_dedup_canonical"] = _q81_sql()
 EXTRA_ORACLES["q82_local_time_rollup"] = _q82_sql()

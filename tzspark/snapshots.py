@@ -144,6 +144,23 @@ class VersionedTable:
         (no rewrite of existing data — Iceberg's append commit)."""
         return self._commit(df, "append")
 
+    def commit_merge(self, source: DataFrame, key_cols: list) -> int:
+        """MERGE INTO analog, copy-on-write strategy (Iceberg v1 MERGE):
+        current rows whose keys match ``source`` are replaced by the source
+        rows, non-matching rows are kept, and source rows with new keys are
+        inserted — all as ONE new snapshot (readers of the parent snapshot
+        see the pre-merge table forever; the pointer swing is the commit
+        point). The kept side is a left-anti join on the keys, so the
+        rewrite shuffles each side once on the merge key; a
+        merge-on-read variant would instead commit delete files — COW is
+        the right trade for batch upserts that touch a large fraction of
+        rows."""
+        cur = self.read()
+        kept = cur.join(
+            source.select(*key_cols).distinct(), list(key_cols), "left_anti"
+        )
+        return self._commit(kept.unionByName(source), "merge")
+
     # -- reads -----------------------------------------------------------
 
     def read(self, snapshot_id: int = None) -> DataFrame:
