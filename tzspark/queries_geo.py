@@ -2395,7 +2395,41 @@ ORDER BY window_start, cell_id
 """
 
 
+def q93_stream_dedup(spark, sf_dir):
+    """Stateful streaming exact-dedup under the value gate: the event
+    stream is delivered TWICE (two copies of every input file — the
+    at-least-once source), drained in multiple micro-batches (4 files per
+    trigger over 16 files, so dropDuplicates state must carry ACROSS
+    batches), and the memory-sink output must equal the exactly-once
+    table — the oracle is simply the source rows, each once. A first-batch
+    -only dedup, state loss between triggers, or cross-batch re-emission
+    all change row multiplicity and hash-fail."""
+    import tempfile
+
+    from .streaming import run_available_now
+
+    tmp = tempfile.mkdtemp(prefix="tzq93_")
+    src = pts_df(spark, sf_dir, with_user=True).select("event_id", "ts", "user_id")
+    src.coalesce(8).write.mode("overwrite").parquet(f"{tmp}/in")
+    src.coalesce(8).write.mode("append").parquet(f"{tmp}/in")  # redelivery
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(f"{tmp}/in")
+    )
+    deduped = stream.dropDuplicates(["event_id"])
+    run_available_now(deduped, f"{tmp}/ckpt", "q93_out")
+    return spark.table("q93_out").orderBy("event_id")
+
+
+_Q93_SQL = """
+SELECT event_id, ts, user_id FROM events ORDER BY event_id
+"""
+
+
 GEO_QUERIES = {
+    "q93_stream_dedup": (q93_stream_dedup, _Q93_SQL),
     "q91_stream_window_counts": (q91_stream_window_counts, _q91_sql()),
     "q89_versioned_resolve": (q89_versioned_resolve, Q89_SQL),
     "q88_zone_value_quantiles": (q88_zone_value_quantiles, Q88_SQL),
