@@ -418,15 +418,19 @@ def bench_main():
         # JIT, and first-touch faults over its first several executions
         # (measured 36 -> 11.6 -> 6.9 s on the world join in an otherwise
         # calm session), and a long-running cluster job lives at the
-        # settled rate, so keep repping while the best improves >= 20%,
-        # bounded at 6 reps / 75 s per query so the whole bench stays
-        # inside the driver's budget.
-        best, spent, rep = float("inf"), 0.0, 0
+        # settled rate. Stop only after TWO consecutive small (<20%)
+        # improvements: the settle curve is not monotone in relative gain
+        # (measured 55.8 -> 20.6 -> 15.9 -> 6.2 -> 5.6 -> 3.39 s — a 10%
+        # rep FOLLOWED by a 39% one; a single-miss rule froze 5.6), with
+        # the world-scale queries given more room (8 reps / 120 s) since
+        # they are exactly the ones with a deep knee.
+        max_rep, max_spent = (8, 120.0) if ("world" in name or "tenant" in name) else (6, 75.0)
+        best, spent, rep, stale = float("inf"), 0.0, 0, 0
         while True:
             t0 = time.time()
             materialize(thunk())
             dt = time.time() - t0
-            improving = dt < 0.8 * best
+            stale = stale + 1 if dt >= 0.8 * best else 0
             best, spent, rep = min(best, dt), spent + dt, rep + 1
             # join-path thunks persist narrow frames scoped to THIS rep's
             # DataFrames — they are never reused across reps, so drop them
@@ -434,7 +438,7 @@ def bench_main():
             spark.catalog.clearCache()
             if rep < 3 or (rep < 5 and spent < 30.0):
                 continue
-            if rep < 6 and spent < 75.0 and improving:
+            if rep < max_rep and spent < max_spent and stale < 2:
                 continue
             break
         timings[name] = round(best, 3)
@@ -447,6 +451,11 @@ def bench_main():
 
     total = round(sum(timings.values()), 3)
     thr = round(N_ROWS / timings["pipeline_lookup"], 1)
+    # north_rule N-vs-4N evidence IN the artifact: the process-parallel
+    # resolve kernel at 8 vs 32 workers (~15 s; no Spark) — the component
+    # that multiplies across real executors. Full Spark-end-to-end scaling
+    # runs live in `bench.py --scaling` + BASELINE.md's replication table.
+    kscale = kernel_scaling()
     print(
         json.dumps(
             {
@@ -458,6 +467,7 @@ def bench_main():
                 "n_images": N_ROWS,
                 "cpus": CPUS,
                 "throughput_rows_sec": thr,
+                "kernel_scaling": kscale,
                 # host-state evidence: first-touch fault cost (us/4k page)
                 # sampled before and after the timed loop; ~1 us = calm box,
                 # 50-600 us = the documented stall regime (BASELINE.md r4)
