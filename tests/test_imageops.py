@@ -258,3 +258,20 @@ def test_flip_images_mixed_failures(spark):
     assert out.loc["imgBAD"]["bytes"] is None
     assert out.loc["imgSHORT"]["bytes"] is None
     assert sum(1 for b in out["bytes"] if b is not None) == 6
+
+
+def test_luma_moments_equal_decode_loop(spark, imgs):
+    """Integer luma moments must equal a per-image decode loop exactly."""
+    from tzspark.imageops import image_luma_moments
+
+    out = image_luma_moments(imgs).toPandas().set_index("image_id").sort_index()
+    rows = imgs.select("image_id", "bytes").toPandas()
+    assert len(out) == len(rows)
+    for _, row in rows.iterrows():
+        _, _, pix = decode_image(bytes(row["bytes"]))
+        p = pix.astype(np.int64)
+        luma = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+        got = out.loc[row["image_id"]]
+        assert got["n_px"] == luma.size
+        assert got["luma_sum"] == luma.sum()
+        assert got["luma_sumsq"] == (luma * luma).sum()

@@ -583,3 +583,80 @@ def flip_images(images: DataFrame) -> DataFrame:
             )
 
     return images.select("image_id", "bytes").mapInArrow(_flip, out_schema)
+
+
+MOMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("luma_sum", T.LongType(), False),
+        T.StructField("luma_sumsq", T.LongType(), False),
+    ]
+)
+
+
+def image_luma_moments(images: DataFrame) -> DataFrame:
+    """Exact integer luma moments per image (sum and sum-of-squares of the
+    x1000-scaled ITU luma 299R+587G+114B over the DECODED pixels) — the
+    inputs to variance/flatness quality filters, computed so both moments
+    are exact int64 and therefore bit-comparable cross-engine (no float
+    summation order anywhere). One mapInArrow stage, one payload gather +
+    two reductions per shape group; failed decodes are dropped."""
+    import pyarrow as pa
+
+    from .engine import _arrow_binary_view
+    from .imagecodec import batch_image_stats
+
+    names = [f.name for f in MOMENTS_SCHEMA.fields]
+
+    def _moments(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            st = batch_image_stats(data, offs, keep_decoded=True)
+            ok = st["ok"] if valid is None else st["ok"] & valid
+            n = len(ok)
+            ps = offs[:-1] + HEADER_LEN
+            decoded, dstart, rle_rows, good = st["rle"]
+            rle_start = np.full(n, -1, np.int64)
+            rle_start[rle_rows[good]] = dstart[:-1][good]
+            is_rle_row = np.zeros(n, bool)
+            is_rle_row[rle_rows] = True
+            fmtc = st["fmt_code"]
+            h64, w64 = st["h"], st["w"]
+            okw = np.flatnonzero(ok)
+            o_idx, o_npx, o_sum, o_sq = [], [], [], []
+            for hh, ww in sorted(set(zip(h64[okw].tolist(), w64[okw].tolist()))):
+                sel = okw[(h64[okw] == hh) & (w64[okw] == ww)]
+                span = np.arange(3 * hh * ww, dtype=np.int64)
+                for rows, src, start, qnt in (
+                    (sel[fmtc[sel] == FMT_CODES["raw"]], data, ps, False),
+                    (sel[fmtc[sel] == FMT_CODES["qnt"]], data, ps, True),
+                    (sel[is_rle_row[sel]], decoded, rle_start, False),
+                ):
+                    k = rows.shape[0]
+                    if k == 0:
+                        continue
+                    g = src[start[rows][:, None] + span[None, :]].astype(np.int64)
+                    if qnt:
+                        g = (g << 2) + 2
+                    px = g.reshape(k, hh * ww, 3)
+                    luma = 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+                    o_idx.append(rows)
+                    o_npx.append(np.full(k, hh * ww, np.int64))
+                    o_sum.append(luma.sum(axis=1))
+                    o_sq.append((luma * luma).sum(axis=1))
+            if not o_idx:
+                continue
+            idx = np.concatenate(o_idx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(np.concatenate(o_npx)),
+                    pa.array(np.concatenate(o_sum)),
+                    pa.array(np.concatenate(o_sq)),
+                ],
+                names=names,
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(_moments, MOMENTS_SCHEMA)

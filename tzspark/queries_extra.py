@@ -1198,6 +1198,61 @@ ORDER BY image_id, py, px
 """
 
 
+_FLAT_STD_X1000 = 20_000  # "flat image" gate: luma std < 20 (x1000 scale)
+
+
+def q94_image_quality_filter(spark, sf_dir):
+    """Image quality curation — the image-side q18 (the LAION-style
+    pre-training filter): per-image exact luma moments (one mapInArrow
+    gather+fold, imageops.image_luma_moments) drive three gates, ALL in
+    integer arithmetic so the cross-engine hash has no float-summation
+    exposure: too_dark / too_bright (mean outside [16, 240], compared as
+    luma_sum vs bound*n_px*1000) and flat (variance gate: n*sumsq - sum^2
+    < std_gate^2 * n^2, exact int64 throughout). Output pins every
+    per-image decision plus the raw moments. Scale shape: one payload
+    pass, 4 narrow int columns out, no shuffle at all until the
+    presentation sort."""
+    from .imageops import image_luma_moments
+
+    m = image_luma_moments(_images(spark, sf_dir).select("image_id", "bytes"))
+    n, s, sq = F.col("n_px"), F.col("luma_sum"), F.col("luma_sumsq")
+    var_num = n * sq - s * s  # = n^2 * variance (x1000^2 scale), exact
+    return m.select(
+        "image_id",
+        "n_px",
+        "luma_sum",
+        "luma_sumsq",
+        (s < 16 * 1000 * n).alias("too_dark"),
+        (s > 240 * 1000 * n).alias("too_bright"),
+        (var_num < F.lit(_FLAT_STD_X1000) * _FLAT_STD_X1000 * n * n).alias("flat"),
+    ).orderBy("image_id")
+
+
+def _q94_sql() -> str:
+    full_grid = f"""
+  SELECT d.i, d.w, d.h, d.fmt, d.phase, sy.v AS y, sx.v AS x
+    FROM ({_DIMS_SQL}) d
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sy ON sy.v < d.h
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sx ON sx.v < d.w"""
+    return f"""
+WITH m AS (
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+         COUNT(*) AS n_px,
+         CAST(SUM(CAST(299 * r + 587 * g + 114 * b AS BIGINT)) AS BIGINT) AS luma_sum,
+         CAST(SUM(CAST(299 * r + 587 * g + 114 * b AS BIGINT)
+                  * CAST(299 * r + 587 * g + 114 * b AS BIGINT)) AS BIGINT) AS luma_sumsq
+  FROM ({_decoded_px_sql(full_grid)})
+  GROUP BY 1
+)
+SELECT image_id, n_px, luma_sum, luma_sumsq,
+       luma_sum < 16 * 1000 * n_px AS too_dark,
+       luma_sum > 240 * 1000 * n_px AS too_bright,
+       n_px * luma_sumsq - luma_sum * luma_sum
+         < {_FLAT_STD_X1000}::BIGINT * {_FLAT_STD_X1000} * n_px * n_px AS flat
+FROM m ORDER BY image_id
+"""
+
+
 def q71_zonal_image_stats(spark, sf_dir):
     """Zonal statistics — the geospatial join and the payload path fused in
     ONE operator: every image resolves to its timezone polygon while the
@@ -1263,6 +1318,7 @@ EXTRA_QUERIES = {
     "q84_patchify": q84_patchify,
     "q87_flip_patchify": q87_flip_patchify,
     "q92_snapshot_merge": q92_snapshot_merge,
+    "q94_image_quality_filter": q94_image_quality_filter,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 EXTRA_ORACLES["q92_snapshot_merge"] = Q92_SQL
@@ -1272,6 +1328,7 @@ EXTRA_ORACLES["q82_local_time_rollup"] = _q82_sql()
 EXTRA_ORACLES["q83_zone_quota_sample"] = _q83_sql()
 EXTRA_ORACLES["q84_patchify"] = _q84_sql()
 EXTRA_ORACLES["q87_flip_patchify"] = _q87_sql()
+EXTRA_ORACLES["q94_image_quality_filter"] = _q94_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.
