@@ -2428,7 +2428,120 @@ SELECT event_id, ts, user_id FROM events ORDER BY event_id
 """
 
 
+def q95_overlay_join(spark, sf_dir):
+    """Polygon overlay join (ST_Intersection-aggregate analog) — the
+    classic GIS operation the engine lacked: every pair of overlapping
+    polygons across TWO zone layers, with the exact intersection AREA
+    computed by the real Sutherland-Hodgman clip kernel (geom.
+    clip_ring_rect — layer B zones are rectangles, so clipping A's actual
+    ring to B's window IS the general-polygon path q67 proved). Layer B =
+    the nation boxes shifted (+6 lat, +10 lng). Candidate pairs come from
+    a coarse-grid cell equi-join over bbox cover cells (never a cross
+    join — the overlay of two 10^7-polygon layers must block spatially),
+    deduped, exact-bbox-filtered, then one mapInPandas clip+shoelace per
+    pair. Oracle: rectangle-rectangle intersection arithmetic — integer-
+    exact here, so a clipper or blocking bug hash-fails."""
+    import pandas as pd
+
+    from .cells import Zone
+    from .engine import zone_table_df
+    from .geom import F32, clip_ring_rect, ring_area_signed
+
+    zones_a = box_zones(spark, sf_dir)
+    zones_b = [
+        Zone(
+            1000 + z.zone_id,
+            "B/" + z.tzid,
+            z.ring_lat + np.float32(6),
+            z.ring_lng + np.float32(10),
+        )
+        for z in zones_a
+    ]
+    n = 1 << 3  # coarse 8x8 blocking grid
+    za = zone_table_df(spark, zones_a)
+    zb = zone_table_df(spark, zones_b).select(
+        F.col("zone_id").alias("b_zone"),
+        F.col("min_lat").alias("b_lat0"),
+        F.col("min_lng").alias("b_lng0"),
+        F.col("max_lat").alias("b_lat1"),
+        F.col("max_lng").alias("b_lng1"),
+    )
+
+    def cells_of(df, lat0, lng0, lat1, lng1):
+        r0 = F.greatest(F.floor((F.col(lat0) + 90.0) / 180.0 * n), F.lit(0)).cast("long")
+        r1 = F.least(F.floor((F.col(lat1) + 90.0) / 180.0 * n), F.lit(n - 1)).cast("long")
+        c0 = F.greatest(F.floor((F.col(lng0) + 180.0) / 360.0 * n), F.lit(0)).cast("long")
+        c1 = F.least(F.floor((F.col(lng1) + 180.0) / 360.0 * n), F.lit(n - 1)).cast("long")
+        return df.withColumn(
+            "cell",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(r0, r1),
+                        lambda r: F.transform(F.sequence(c0, c1), lambda c: r * n + c),
+                    )
+                )
+            ),
+        )
+
+    ca = cells_of(za, "min_lat", "min_lng", "max_lat", "max_lng")
+    cb = cells_of(zb, "b_lat0", "b_lng0", "b_lat1", "b_lng1")
+    pairs = (
+        ca.join(cb, "cell")
+        .where(
+            (F.col("min_lat") < F.col("b_lat1"))
+            & (F.col("b_lat0") < F.col("max_lat"))
+            & (F.col("min_lng") < F.col("b_lng1"))
+            & (F.col("b_lng0") < F.col("max_lng"))
+        )
+        .select(
+            "zone_id", "lats", "lngs", "b_zone", "b_lat0", "b_lng0", "b_lat1", "b_lng1"
+        )
+        .distinct()
+    )
+
+    def _clip(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                cl, cg = clip_ring_rect(
+                    np.asarray(r.lats, dtype=F32),
+                    np.asarray(r.lngs, dtype=F32),
+                    float(r.b_lat0), float(r.b_lng0),
+                    float(r.b_lat1), float(r.b_lng1),
+                )
+                a = abs(ring_area_signed(cl, cg)) if len(cl) >= 3 else 0.0
+                if a > 0.0:
+                    rows.append((int(r.zone_id), int(r.b_zone), round(a, 6)))
+            yield pd.DataFrame(rows, columns=["a_zone", "b_zone", "inter_area"])
+
+    return (
+        pairs.mapInPandas(_clip, "a_zone int, b_zone int, inter_area double")
+        .orderBy("a_zone", "b_zone")
+    )
+
+
+Q95_SQL = f"""
+WITH a AS ({BOXES_SQL}),
+b AS (
+  SELECT zone_id + 1000 AS b_zone,
+         min_lat + 6 AS b_lat0, max_lat + 6 AS b_lat1,
+         min_lng + 10 AS b_lng0, max_lng + 10 AS b_lng1
+  FROM ({BOXES_SQL})
+)
+SELECT a.zone_id AS a_zone, b.b_zone,
+       ROUND((LEAST(a.max_lat, b.b_lat1) - GREATEST(a.min_lat, b.b_lat0))
+             * (LEAST(a.max_lng, b.b_lng1) - GREATEST(a.min_lng, b.b_lng0)), 6)
+         AS inter_area
+FROM a JOIN b
+  ON a.min_lat < b.b_lat1 AND b.b_lat0 < a.max_lat
+ AND a.min_lng < b.b_lng1 AND b.b_lng0 < a.max_lng
+ORDER BY a_zone, b_zone
+"""
+
+
 GEO_QUERIES = {
+    "q95_overlay_join": (q95_overlay_join, Q95_SQL),
     "q93_stream_dedup": (q93_stream_dedup, _Q93_SQL),
     "q91_stream_window_counts": (q91_stream_window_counts, _q91_sql()),
     "q89_versioned_resolve": (q89_versioned_resolve, Q89_SQL),
