@@ -2540,7 +2540,59 @@ ORDER BY a_zone, b_zone
 """
 
 
+def q96_mobility_entropy(spark, sf_dir):
+    """Per-user mobility entropy — the information-theoretic mobility
+    metric (Shannon entropy of a user's visit distribution over res-4
+    cells; Song et al.'s predictability work made it the standard
+    regularity score). Two map-side-combinable aggregations, zero joins,
+    zero Python: (user, cell) counts, then per-user -sum(p ln p) via a
+    relational self-rollup (the per-user total rides along as a window-
+    free second agg). Entropy 0 = single-cell user; ln(k) = uniform over
+    k cells. At 10^12 rows both aggs partial-combine; state is bounded by
+    distinct (user, cell)."""
+    from .cells import cell_id_col
+
+    p = pts_df(spark, sf_dir, with_user=True)
+    uc = (
+        p.select("user_id", cell_id_col(F.col("lat"), F.col("lng"), 4).alias("cell"))
+        .groupBy("user_id", "cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        uc.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_cells"),
+            F.round(
+                F.log(F.sum("n"))
+                - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
+                6,
+            ).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q96_sql() -> str:
+    from .cells import cell_id_sql
+
+    return f"""
+WITH pts AS ({PTS_SQL}),
+uc AS (
+  SELECT user_id, {cell_id_sql('lat', 'lng', 4)} AS cell, COUNT(*) AS n
+  FROM (SELECT p.*, e.user_id FROM pts p JOIN events e USING (event_id))
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_cells,
+       ROUND(LN(SUM(n)) - SUM(n * LN(n)) / SUM(n), 6) AS entropy
+FROM uc GROUP BY user_id ORDER BY user_id
+"""
+
+
 GEO_QUERIES = {
+    "q96_mobility_entropy": (q96_mobility_entropy, _q96_sql()),
     "q95_overlay_join": (q95_overlay_join, Q95_SQL),
     "q93_stream_dedup": (q93_stream_dedup, _Q93_SQL),
     "q91_stream_window_counts": (q91_stream_window_counts, _q91_sql()),
