@@ -522,6 +522,24 @@ def main():
     ):
         failures.append("bm25: scalar-stats attach is not a broadcast")
 
+    from tzspark.queries_geo import q95_overlay_join, q96_mobility_entropy
+
+    p29 = plan_of(q95_overlay_join(spark, sf001))
+    sections.append(("polygon overlay join (cell-blocked, clip areas)", p29))
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p29):
+        failures.append("overlay: candidate generation degenerates to a cross join")
+    if len(re.findall(r"\(\d+\) MapInPandas", p29)) != 1:
+        failures.append("overlay: expected exactly ONE MapInPandas (the clip fold)")
+
+    p30 = plan_of(q96_mobility_entropy(spark, sf001))
+    sections.append(("mobility entropy (two partial aggs, no joins)", p30))
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas", p30):
+        failures.append("entropy: unexpected Python stage (pure column ops)")
+    if re.search(r"Join", p30):
+        failures.append("entropy: unexpected join")
+    if not re.search(r"partial", p30):
+        failures.append("entropy: aggs lost map-side combine")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -582,6 +600,10 @@ def main():
             "time-slice filters below them, no cross join\n"
             "- bm25: zero Python stages, broadcast stats, distributed "
             "TakeOrderedAndProject top-k\n"
+            "- overlay join: cell-blocked equi-join candidates (no cross "
+            "join), exactly one MapInPandas clip fold\n"
+            "- mobility entropy: zero joins, zero Python, partial-agg "
+            "rollups only\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))
