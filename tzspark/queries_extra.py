@@ -1253,6 +1253,45 @@ FROM m ORDER BY image_id
 """
 
 
+def q97_cluster_metadata(spark, sf_dir):
+    """Dedup-cluster metadata reconciliation — the step a curation
+    pipeline runs right after canonical selection (q81): for every kept
+    cluster, how many members were folded in, how many DISTINCT captions
+    they carried (caption conflicts = the metadata-merge problem), and the
+    deterministic representative caption (lexicographic min). Composition:
+    q81's per-image canon decision + a caption attach + one rollup; the
+    oracle re-derives captions from the id arithmetic inside the same
+    recursive-CTE closure, so cluster membership AND metadata aggregation
+    are hash-checked together. Scale: the caption attach joins on the
+    unique image_id and the rollup partial-aggregates per canon."""
+    caps = _images(spark, sf_dir).select("image_id", "caption")
+    base = q81_image_dedup_canonical(spark, sf_dir)
+    return (
+        base.join(caps, "image_id")
+        .groupBy("canon_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("caption").alias("n_captions"),
+            F.min("caption").alias("canon_caption"),
+        )
+        .orderBy("canon_id")
+    )
+
+
+def _q97_sql() -> str:
+    return f"""
+SELECT canon_id,
+       COUNT(*) AS n_members,
+       COUNT(DISTINCT 'cap ' || CAST(CAST(SUBSTR(image_id, 4, 12) AS BIGINT) AS VARCHAR))
+         AS n_captions,
+       MIN('cap ' || CAST(CAST(SUBSTR(image_id, 4, 12) AS BIGINT) AS VARCHAR))
+         AS canon_caption
+FROM ({_q81_sql()})
+GROUP BY canon_id
+ORDER BY canon_id
+"""
+
+
 def q71_zonal_image_stats(spark, sf_dir):
     """Zonal statistics — the geospatial join and the payload path fused in
     ONE operator: every image resolves to its timezone polygon while the
@@ -1319,6 +1358,7 @@ EXTRA_QUERIES = {
     "q87_flip_patchify": q87_flip_patchify,
     "q92_snapshot_merge": q92_snapshot_merge,
     "q94_image_quality_filter": q94_image_quality_filter,
+    "q97_cluster_metadata": q97_cluster_metadata,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 EXTRA_ORACLES["q92_snapshot_merge"] = Q92_SQL
@@ -1329,6 +1369,7 @@ EXTRA_ORACLES["q83_zone_quota_sample"] = _q83_sql()
 EXTRA_ORACLES["q84_patchify"] = _q84_sql()
 EXTRA_ORACLES["q87_flip_patchify"] = _q87_sql()
 EXTRA_ORACLES["q94_image_quality_filter"] = _q94_sql()
+EXTRA_ORACLES["q97_cluster_metadata"] = _q97_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.
