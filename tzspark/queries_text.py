@@ -2140,6 +2140,84 @@ FROM j ORDER BY doc_id
 """
 
 
+# --- benchmark decontamination -----------------------------------------------
+
+_DECON_N = 4  # production pipelines use 8-13; 4 matches this corpus's
+# 31-token vocab so the operator exercises real hits (11 docs at sf0.01)
+
+
+def q98_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the screen every LLM training pipeline
+    runs before training: flag training documents sharing any word n-gram
+    with the held-out eval set (here docs with doc_id % 100 == 0), so eval
+    leakage is removed rather than memorized. Shape: eval n-grams are a
+    DISTINCT, broadcastable set (eval sets are small by construction);
+    training docs explode to n-grams and semi-join it — per-doc output is
+    the contaminated flag + how many distinct eval grams it shares. The
+    n-gram explode is the only big pass; the join side is broadcast, so
+    at 10^12 docs this is scan + map-side semi-join, one rollup
+    Exchange."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= _DECON_N,
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_DECON_N - 1}),"
+                    f" i -> array_join(slice(toks, i, {_DECON_N}), ' '))"
+                ),
+            ).otherwise(F.array())
+        ).alias("gram"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % 100 == 0).select("gram").distinct()
+    )
+    train = grams.where(F.col("doc_id") % 100 != 0)
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+    )
+    return (
+        d.where(F.col("doc_id") % 100 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q98_SQL = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(toks[CAST(i AS INT):CAST(i + {_DECON_N - 1} AS INT)], ' ') AS gram
+  FROM d, UNNEST(range(1, len(toks) - {_DECON_N - 2})) AS t(i)
+  WHERE len(toks) >= {_DECON_N}
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id % 100 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+       COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 100 <> 0
+ORDER BY d.doc_id
+"""
+
+
 # --- BM25 retrieval scoring --------------------------------------------------
 
 _BM25_K1 = 1.2
@@ -2357,6 +2435,7 @@ FROM r ORDER BY pos_key, source, r
 
 
 TEXT_QUERIES = {
+    "q98_decontaminate": (q98_decontaminate, Q98_SQL),
     "q90_bm25_rank": (q90_bm25_rank, Q90_SQL),
     "q86_countmin_tokens": (q86_countmin_tokens, Q86_SQL),
     "q85_mix_interleave": (q85_mix_interleave, Q85_SQL),
