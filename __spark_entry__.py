@@ -12,7 +12,7 @@ oracles. Text/similarity queries cover the training-data operator families
 over `documents` / `embeddings`. The image queries (q24-q30) are oracle-
 checked too: the synthetic pixels and the codec are pure arithmetic in the
 row index, so decoded channel sums / PSNR / tile raster stats are exactly
-SQL-expressible (COVERAGE.md "pixel-synthesis SQL oracles"). All 98
+SQL-expressible (COVERAGE.md "pixel-synthesis SQL oracles"). All 100
 queries carry a value-level DuckDB oracle.
 """
 

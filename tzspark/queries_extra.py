@@ -1292,6 +1292,61 @@ ORDER BY canon_id
 """
 
 
+_SHARD_CAP = 64 * 1024  # decoded bytes per training shard
+
+
+def q100_tile_shard_pack(spark, sf_dir):
+    """Tile-sharded training-data writer layout — the q51 sequence packer
+    for IMAGES: within each spatial tile (the co-access unit a geo model
+    trains on), images are packed greedily in deterministic image_id order
+    into fixed-capacity shards by DECODED size (3*w*h + header — what the
+    tensor loader materializes, invariant to the storage codec), emitting
+    each image's (shard index, byte offset) placement. One hash Exchange
+    on cell_id + the in-partition sort for the running sum; the rollup a
+    writer needs (files per tile, bytes per shard) derives from this
+    table without re-shuffling images. Every per-image placement is
+    pinned (10k rows), so an off-by-one in the running sum, the shard
+    boundary, or the tile partitioning hash-fails."""
+    from pyspark.sql.window import Window
+
+    a, _dim = _q41_assigned(spark, sf_dir)
+    cost = (3 * F.col("w") * F.col("h") + 17).cast("long")
+    w = Window.partitionBy("cell_id").orderBy("image_id")
+    t = a.select("image_id", "cell_id", cost.alias("cost")).withColumn(
+        "cum", F.sum("cost").over(w)
+    )
+    return t.select(
+        "image_id",
+        "cell_id",
+        "cost",
+        F.floor((F.col("cum") - F.col("cost")) / _SHARD_CAP)
+        .cast("int")
+        .alias("shard_idx"),
+        ((F.col("cum") - F.col("cost")) % _SHARD_CAP).alias("off_in_shard"),
+    ).orderBy("image_id")
+
+
+def _q100_sql() -> str:
+    return f"""
+WITH a AS ({Q41_SQL}),
+t AS (
+  SELECT a.image_id, a.cell_id,
+         CAST(3 * d.w * d.h + 17 AS BIGINT) AS cost
+  FROM a JOIN ({_DIMS_SQL}) d
+    ON CAST(SUBSTR(a.image_id, 4, 12) AS BIGINT) = d.i
+),
+c AS (
+  SELECT image_id, cell_id, cost,
+         SUM(cost) OVER (PARTITION BY cell_id ORDER BY image_id) AS cum
+  FROM t
+)
+SELECT image_id, cell_id, cost,
+       CAST(FLOOR((cum - cost) / {_SHARD_CAP}) AS INTEGER) AS shard_idx,
+       CAST((cum - cost) % {_SHARD_CAP} AS BIGINT) AS off_in_shard
+FROM c ORDER BY image_id
+"""
+
+
 def q71_zonal_image_stats(spark, sf_dir):
     """Zonal statistics — the geospatial join and the payload path fused in
     ONE operator: every image resolves to its timezone polygon while the
@@ -1359,6 +1414,7 @@ EXTRA_QUERIES = {
     "q92_snapshot_merge": q92_snapshot_merge,
     "q94_image_quality_filter": q94_image_quality_filter,
     "q97_cluster_metadata": q97_cluster_metadata,
+    "q100_tile_shard_pack": q100_tile_shard_pack,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 EXTRA_ORACLES["q92_snapshot_merge"] = Q92_SQL
@@ -1370,6 +1426,7 @@ EXTRA_ORACLES["q84_patchify"] = _q84_sql()
 EXTRA_ORACLES["q87_flip_patchify"] = _q87_sql()
 EXTRA_ORACLES["q94_image_quality_filter"] = _q94_sql()
 EXTRA_ORACLES["q97_cluster_metadata"] = _q97_sql()
+EXTRA_ORACLES["q100_tile_shard_pack"] = _q100_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.

@@ -2591,7 +2591,39 @@ FROM uc GROUP BY user_id ORDER BY user_id
 """
 
 
+def q99_od_flow_matrix(spark, sf_dir):
+    """Origin-destination flow matrix — the mobility product built on top
+    of q65's transitions: every zone-change event rolls up into directed
+    (from_zone, to_zone) flows with trip and unique-traveler counts (the
+    "popular routes" table). Shape: q65's one user_id Exchange for the
+    LAG, then ONE partial-aggregated rollup on the (tiny) zone-pair key —
+    the output is bounded by |zones|^2 regardless of input rows."""
+    t = q65_zone_transitions(spark, sf_dir)
+    return (
+        t.groupBy(
+            F.col("from_zone"), F.col("to_zone")
+        )
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.countDistinct("user_id").alias("n_travelers"),
+        )
+        .orderBy("from_zone", "to_zone")
+    )
+
+
+Q99_SQL = f"""
+WITH base AS ({Q65_SQL})
+SELECT from_zone, to_zone,
+       COUNT(*) AS n_trips,
+       COUNT(DISTINCT user_id) AS n_travelers
+FROM base
+GROUP BY 1, 2
+ORDER BY from_zone, to_zone
+"""
+
+
 GEO_QUERIES = {
+    "q99_od_flow_matrix": (q99_od_flow_matrix, Q99_SQL),
     "q96_mobility_entropy": (q96_mobility_entropy, _q96_sql()),
     "q95_overlay_join": (q95_overlay_join, Q95_SQL),
     "q93_stream_dedup": (q93_stream_dedup, _Q93_SQL),
