@@ -27,19 +27,15 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 # executors' python workers must import tzspark too
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
-# see bench.py: avoid this VM's pathological first-touch fault stalls on
-# large fresh mmaps — keep glibc reusing heap blocks in every worker (only
-# effective if this module is imported before the JVM starts, which is how
-# the driver and the oracle-check harness both load it)
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+# Shared host calibration (tzspark/hostcal.py): MALLOC_* env exports so the
+# JVM + every Python worker avoid this VM's pathological first-touch fault
+# stalls on large fresh mmaps, plus mallopt(3) for THIS process (env vars
+# can't retune a running glibc). Only effective if this module is imported
+# before the JVM starts, which is how the driver and the oracle-check
+# harness both load it.
+from tzspark import hostcal
 
-# ...and the env vars cannot retune THIS process (glibc read them before
-# Python started), so apply the same tunables via mallopt(3) for driver-side
-# numpy work (cover compile, kNN table):
-from tzspark._malloc import apply_malloc_tuning
-
-apply_malloc_tuning()
+hostcal.apply()
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
@@ -75,6 +71,38 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Round-5 sampling rotation: the driver's correctness gate records the FIRST
+# 50 entries of queries() per round. CORRECTNESS_r04.json covered 50 names;
+# these are the other 50 (18 of them never driver-recorded in any round —
+# VERDICT r4 item 1), so they lead the registry this round. Every query is
+# still present and oracle-checked; only the iteration order changes.
+_ROUND5_FIRST = [
+    "q55_sq8_encode", "q56_sq8_search", "q60_pq_adc_search", "q61_ivfpq_search",
+    "q63_snapshot_time_travel", "q69_image_ahash_neardup", "q71_zonal_image_stats",
+    "q81_image_dedup_canonical", "q82_local_time_rollup", "q83_zone_quota_sample",
+    "q84_patchify", "q87_flip_patchify", "q92_snapshot_merge",
+    "q94_image_quality_filter", "q97_cluster_metadata", "q100_tile_shard_pack",
+    "q30_resize", "q31_stream_assign",
+    # the 32 recorded only in round 3:
+    "q13_dedup_exact", "q14_ngram_jaccard", "q15_minhash_lsh", "q16_simhash",
+    "q17_lang_id", "q18_quality_score", "q19_token_count", "q20_doc_fingerprint",
+    "q21_ann_bruteforce", "q22_ann_lsh_bucket", "q23_embed_near_dup",
+    "q24_extract_gps", "q25_psnr_invariant", "q26_tile_raster",
+    "q27_full_engine_synthetic", "q29_image_features", "q32_ivf_assign",
+    "q33_ivf_search", "q34_simhash_near_dup", "q35_corpus_clean",
+    "q37_near_dup_clusters", "q38_centroid_outliers", "q41_full_engine_boxes",
+    "q42_full_engine_boxes_join", "q44_dedup_canonical", "q45_asof_join",
+    "q46_sessionize", "q47_tfidf_topterms", "q48_pii_scrub",
+    "q49_stratified_sample", "q50_chunk_documents", "q51_sequence_pack",
+]
+
+
+def _rotate(d: dict) -> dict:
+    head = {k: d[k] for k in _ROUND5_FIRST if k in d}
+    tail = {k: v for k, v in d.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ §2.7)."""
     from tzspark.queries_extra import EXTRA_QUERIES
@@ -95,7 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _shipped(fn)
     for name, fn in EXTRA_QUERIES.items():
         out[name] = _shipped(fn)
-    return out
+    return _rotate(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -107,4 +135,4 @@ def oracle_sql() -> dict[str, str]:
 
     out = {name: sql for name, (_fn, sql) in {**GEO_QUERIES, **TEXT_QUERIES}.items()}
     out.update(EXTRA_ORACLES)
-    return out
+    return _rotate(out)

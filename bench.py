@@ -29,47 +29,18 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-# This box (VM kernel) intermittently takes ~50-100 us PER PAGE to fault in
-# freshly-mmapped memory — multi-second stalls on ~60 MB numpy temporaries
-# (measured: first large np.sin 0.1-17 s, warm 0.1 s; the r3 bench noise).
-# glibc mmaps every >128 KiB allocation by default, so EVERY Arrow batch's
-# temporaries re-pay it. Keep freed large blocks on the heap instead:
-# steady-state batches then reuse already-faulted pages. Set before the JVM
-# starts so every Python worker inherits it.
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+# Shared host calibration (tzspark/hostcal.py): MALLOC_* env exports for the
+# JVM + Python workers, mallopt(3) for THIS process, and the fault-probe /
+# calm-wait primitives this box's stall regime demands (BASELINE.md r3-r4).
+from tzspark import hostcal
+from tzspark.hostcal import CALM_US_PER_PAGE, fault_probe
 
-# ...and the env vars cannot retune THIS process (glibc read them before
-# Python started), so apply the same tunables via mallopt(3) for driver-side
-# numpy work (cover compile, kNN table):
-from tzspark._malloc import apply_malloc_tuning
-
-apply_malloc_tuning()
+hostcal.apply()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
 CACHE = os.path.join(_REPO, ".bench_cache")
-
-
-def fault_probe(size_mb: int = 32) -> float:
-    """Measured first-touch cost of a FRESH anonymous mmap, in us per 4k
-    page. This box's dominant noise source (BASELINE.md round 4) is an
-    intermittent host-pressure regime where this costs 50-600 us/page
-    instead of ~1 us; recording it beside the timings turns "the box was
-    noisy" into a number the reader can check against the run."""
-    import mmap
-
-    import numpy as np
-
-    mm = mmap.mmap(-1, size_mb << 20)
-    buf = np.frombuffer(mm, dtype=np.uint8)
-    t0 = time.time()
-    buf[::4096] = 1  # one write per page: pure first-touch fault cost
-    dt = time.time() - t0
-    del buf
-    mm.close()
-    return round(dt / ((size_mb << 20) / 4096) * 1e6, 2)
 
 
 def _sf_tag() -> str:
@@ -400,15 +371,9 @@ def bench_main():
     # not the engine (observed: identical code 3-16x slower). Wait for a
     # calm window, bounded so the driver never hangs; the recorded probe
     # values let any reader see whether the wait succeeded.
-    calm_waits = 0
-    fault_us_before = fault_probe()
-    while fault_us_before > 40.0 and calm_waits < 10:
-        time.sleep(30)
-        calm_waits += 1
-        fault_us_before = fault_probe()
-    timings = {}
-    fault_by_query = {}
-    for name, thunk in qs.items():
+    fault_us_before, calm_waits = hostcal.wait_calm(threshold_us=40.0)
+
+    def timed_reps(thunk, max_rep, max_spent, min_rep=3):
         # min-of-reps: the box's stall noise is strictly additive and
         # one-sided, so min is the consistent estimator (same policy as the
         # --scaling runs; see BASELINE.md round 4). Cheap queries get 5
@@ -424,7 +389,6 @@ def bench_main():
         # rep FOLLOWED by a 39% one; a single-miss rule froze 5.6), with
         # the world-scale queries given more room (8 reps / 120 s) since
         # they are exactly the ones with a deep knee.
-        max_rep, max_spent = (8, 120.0) if ("world" in name or "tenant" in name) else (6, 75.0)
         best, spent, rep, stale = float("inf"), 0.0, 0, 0
         while True:
             t0 = time.time()
@@ -436,18 +400,40 @@ def bench_main():
             # DataFrames — they are never reused across reps, so drop them
             # instead of letting storage accumulate over the session
             spark.catalog.clearCache()
-            if rep < 3 or (rep < 5 and spent < 30.0):
+            if rep < min_rep or (rep < 5 and spent < 30.0 and min_rep >= 3):
                 continue
             if rep < max_rep and spent < max_spent and stale < 2:
                 continue
             break
+        return best
+
+    timings = {}
+    fault_by_query = {}
+    # Per-query calm gate (VERDICT r4 item 2): a stall window that lands
+    # MID-suite poisons only the queries it overlaps, and the global
+    # before/after probes can't see it. After each query's reps, probe; if
+    # the host was stalling, wait for calm (bounded) and re-rep, keeping the
+    # min across rounds (noise is strictly additive). A global retry budget
+    # keeps the whole bench bounded for the driver.
+    retry_wall_budget = float(os.environ.get("SPARK_GRAFT_RETRY_BUDGET_S", "900"))
+    retry_spent = 0.0
+    for name, thunk in qs.items():
+        max_rep, max_spent = (8, 120.0) if ("world" in name or "tenant" in name) else (6, 75.0)
+        best = timed_reps(thunk, max_rep, max_spent)
+        # per-query host-state evidence: pins each number to the host state
+        # it was taken under (~1 us = calm, 50-600 us = stall regime)
+        probe = fault_probe(8)
+        retries = 0
+        while probe > CALM_US_PER_PAGE and retries < 2 and retry_spent < retry_wall_budget:
+            t_r = time.time()
+            probe, _w = hostcal.wait_calm(max_waits=5)
+            # re-measure warm + settled: 3 reps / 45 s suffice post-knee
+            best = min(best, timed_reps(thunk, 3, 45.0, min_rep=2))
+            probe = fault_probe(8)
+            retries += 1
+            retry_spent += time.time() - t_r
         timings[name] = round(best, 3)
-        # per-query host-state evidence: the global before/after probes
-        # bracket the loop but cannot see a stall window that lands MID-loop
-        # (observed: one query 4x slow between two calm global probes);
-        # a small probe right after each query pins its numbers to the
-        # host state they were taken under
-        fault_by_query[name] = round(fault_probe(8), 2)
+        fault_by_query[name] = probe
 
     total = round(sum(timings.values()), 3)
     thr = round(N_ROWS / timings["pipeline_lookup"], 1)

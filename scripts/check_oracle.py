@@ -15,7 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-import __spark_entry__ as entrymod
+import __spark_entry__ as entrymod  # applies tzspark.hostcal on import
+from tzspark import hostcal
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -39,6 +40,12 @@ def canon(df: pd.DataFrame) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # Same calm preamble as bench.py (VERDICT r4 item 6): a correctness run
+    # started inside a stall window can take 5-15x longer per query and trip
+    # external timeouts; wait (bounded) for calm and record the reading.
+    probe, waits = hostcal.wait_calm(threshold_us=40.0, max_waits=6)
+    print(f"host fault probe: {probe} us/page after {waits} calm-waits")
 
     from tzspark.engine import get_spark
 

@@ -1,24 +1,17 @@
 import os
+import sys
 
 import pytest
 
-# See bench.py: this VM's kernel intermittently stalls multi-second on
-# first-touch faults of large fresh mmaps; keep glibc reusing heap blocks so
-# numpy/Arrow temporaries in workers hit already-faulted pages. Must be set
-# before the JVM (and its Python workers) start.
-os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
-os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
-
-import sys
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# ...and the env vars cannot retune THIS process (glibc read them before
-# Python started), so apply the same tunables via mallopt(3) for driver-side
-# numpy work (cover compile, kNN table):
-from tzspark._malloc import apply_malloc_tuning
+# Shared host calibration (tzspark/hostcal.py): MALLOC_* env exports for the
+# JVM + Python workers (this VM stalls multi-second on first-touch faults of
+# large fresh mmaps) plus mallopt(3) for THIS process. Must run before the
+# JVM starts.
+from tzspark import hostcal
 
-apply_malloc_tuning()
+hostcal.apply()
 
 
 @pytest.fixture(scope="session")
