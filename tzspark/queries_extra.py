@@ -1298,10 +1298,16 @@ _SHARD_CAP = 64 * 1024  # decoded bytes per training shard
 def q100_tile_shard_pack(spark, sf_dir):
     """Tile-sharded training-data writer layout — the q51 sequence packer
     for IMAGES: within each spatial tile (the co-access unit a geo model
-    trains on), images are packed greedily in deterministic image_id order
-    into fixed-capacity shards by DECODED size (3*w*h + header — what the
-    tensor loader materializes, invariant to the storage codec), emitting
-    each image's (shard index, byte offset) placement. One hash Exchange
+    trains on), images are laid out in deterministic image_id order and
+    the CONCATENATED byte stream is split at fixed 64 KiB shard
+    boundaries by DECODED size (3*w*h + header — what the tensor loader
+    materializes, invariant to the storage codec), emitting each image's
+    (shard index, byte offset) placement. SEMANTICS (explicit): this is
+    tar-like contiguous-stream sharding — shard_idx is where an image's
+    FIRST byte lands, and an image whose bytes cross the boundary
+    straddles two shards (readers use (shard, offset, cost) to span);
+    it is NOT greedy whole-blob bin packing, which would need a
+    sequential per-tile fold instead of a prefix sum. One hash Exchange
     on cell_id + the in-partition sort for the running sum; the rollup a
     writer needs (files per tile, bytes per shard) derives from this
     table without re-shuffling images. Every per-image placement is

@@ -2434,6 +2434,193 @@ FROM r ORDER BY pos_key, source, r
 """
 
 
+_SPAN_K = 8  # shingle width (tokens) for substring-level dedup
+
+
+def q101_substring_dedup(spark, sf_dir):
+    """Substring-level (suffix-array-style) dedup — exact duplicated token
+    SPANS across documents, the training-data dedup family whole-doc (q13)
+    and near-doc (q14/q15) operators miss (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better": repeated 50-token spans;
+    here k=8 tokens at fixture scale). Pipeline, all JVM-side:
+
+      1. k-token shingles per position via sequence+slice+array_join
+         (zero Python),
+      2. inverted postings keyed by xxhash64(shingle) — ONE partial-
+         aggregating groupBy marks shingles seen in >= 2 distinct docs
+         (the classic postings shuffle; a 64-bit key at 10^12 shingles has
+         ~1e-7 collision odds per Birthday bound, and a collision only
+         over-marks a span, never corrupts),
+      3. a left-semi join back tags duplicated start positions,
+      4. gaps-and-islands (pos - row_number per doc) merges overlapping
+         shingle hits into MAXIMAL duplicated spans — the window is
+         partitioned per doc_id, so state is bounded by document length,
+         never corpus size.
+
+    Output: one row per maximal duplicated span [span_start, span_end]
+    (1-based token indices, inclusive). Oracle: the same postings + islands
+    in ANSI SQL over string_split."""
+    k = _SPAN_K
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    sh = (
+        d.where(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (k - 1)),
+                    lambda i: F.array_join(F.slice("w", i, k), " "),
+                )
+            ).alias("pos0", "sh"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.xxhash64("sh").alias("h"),
+        )
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+Q101_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+p AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+{_SPAN_K - 1}], ' ') AS sh
+  FROM t, UNNEST(range(1, len(w) - {_SPAN_K - 2})) AS u(i)
+  WHERE len(w) >= {_SPAN_K}
+),
+d AS (SELECT sh FROM p GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT DISTINCT doc_id, pos FROM p JOIN d USING (sh)),
+i AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_SPAN_K - 1} AS span_end,
+       MAX(pos) + {_SPAN_K - 1} - MIN(pos) + 1 AS span_tokens
+FROM i GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+_SEM_TAU = 0.30  # within-centroid cosine threshold (q23's near-dup regime)
+
+
+def q102_semdedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup-style, Abbas et al. 2023): IVF-assign every
+    vector to its nearest centroid (the q32 coarse quantizer), then prune
+    WITHIN each centroid bucket — a vector is dropped when a smaller-id
+    vector in the same bucket has cosine >= tau with it. Closes the gap
+    between q23 (near-dup PAIRS) and q44 (lexical canonical corpus): this
+    is the embedding-space canonicalization.
+
+    Scale shape: the candidate join is an EQUI-join on centroid_id, never
+    a cross join — pair count is sum of bucket^2, and SemDeDup's own recipe
+    scales K with corpus size (K ~ sqrt(N)) to keep buckets bounded; the
+    assignment step broadcasts only the K-row centroid table. Kept output
+    is deterministic (min-vec_id representative per tight cluster region,
+    no RNG, no iteration)."""
+    e = _embs(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    rest = e.where(F.col("vec_id") >= _IVF_K).select("vec_id", "embedding")
+    x = rest.crossJoin(F.broadcast(cents)).withColumn(
+        "d2", _d2(F.col("embedding"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+    # cached: the frame feeds BOTH pair-join sides and the final attach —
+    # without it the K-row centroid broadcast + assignment window would be
+    # re-evaluated three times (plan-asserted in scripts/explain_plans.py)
+    assigned = (
+        x.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "embedding")
+    ).cache()
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "centroid_id"
+    )
+    cos = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))),
+        6,
+    )
+    dups = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= _SEM_TAU)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.count("*").alias("n_sem_dups"))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.coalesce("n_sem_dups", F.lit(0)).alias("n_sem_dups"),
+            (F.coalesce("n_sem_dups", F.lit(0)) == 0).cast("int").alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q102_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS ce FROM e WHERE vec_id < {_IVF_K}),
+rest AS (SELECT vec_id, v FROM e WHERE vec_id >= {_IVF_K}),
+d AS (
+  SELECT r.vec_id, c.centroid_id, r.v,
+         ROUND(list_dot_product(r.v, r.v) - 2 * list_dot_product(r.v, c.ce)
+               + list_dot_product(c.ce, c.ce), 6) AS d2
+  FROM rest r CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, centroid_id, v FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+    FROM d) WHERE rn = 1
+),
+dups AS (
+  SELECT b.vec_id, COUNT(*) AS n_sem_dups
+  FROM asg a JOIN asg b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+              6) >= {_SEM_TAU}
+  GROUP BY b.vec_id
+)
+SELECT asg.vec_id, asg.centroid_id,
+       COALESCE(dups.n_sem_dups, 0) AS n_sem_dups,
+       CAST(COALESCE(dups.n_sem_dups, 0) = 0 AS INTEGER) AS kept
+FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+ORDER BY asg.vec_id
+"""
+
+
 TEXT_QUERIES = {
     "q98_decontaminate": (q98_decontaminate, Q98_SQL),
     "q90_bm25_rank": (q90_bm25_rank, Q90_SQL),
@@ -2470,4 +2657,6 @@ TEXT_QUERIES = {
     "q21_ann_bruteforce": (q21_ann_bruteforce, Q21_SQL),
     "q22_ann_lsh_bucket": (q22_ann_lsh_bucket, Q22_SQL),
     "q23_embed_near_dup": (q23_embed_near_dup, Q23_SQL),
+    "q101_substring_dedup": (q101_substring_dedup, Q101_SQL),
+    "q102_semdedup": (q102_semdedup, Q102_SQL),
 }

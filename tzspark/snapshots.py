@@ -155,11 +155,17 @@ class VersionedTable:
         merge-on-read variant would instead commit delete files — COW is
         the right trade for batch upserts that touch a large fraction of
         rows."""
-        cur = self.read()
-        kept = cur.join(
+        return self._commit(self._merge_frame(source, key_cols), "merge")
+
+    def _merge_frame(self, source: DataFrame, key_cols: list) -> DataFrame:
+        """The (lazy) merged table commit_merge materializes — exposed so
+        the plan auditor (scripts/explain_plans.py) can assert the merge
+        shape: kept side = left-anti join on the keys, one shuffle per
+        side, no cross join."""
+        kept = self.read().join(
             source.select(*key_cols).distinct(), list(key_cols), "left_anti"
         )
-        return self._commit(kept.unionByName(source), "merge")
+        return kept.unionByName(source)
 
     # -- reads -----------------------------------------------------------
 
