@@ -345,6 +345,45 @@ def materialize(df) -> int:
     return df.count()
 
 
+def world_small_kernel_ratio(n: int = 200_000, reps: int = 3) -> dict:
+    """Measured world(24k zones)-vs-small(2k-ring) resolve-kernel ratio,
+    recorded in the artifact so drift is visible round over round even
+    while tests/test_world_scale.py's regression gate (4x) passes — the
+    intrinsic calm-box ratio is 3.0-3.2x (44% of uniform world probes hit
+    coastline boundary cells; BASELINE.md round 4). Min-of-reps on both
+    sides, measured back-to-back so a stall window cannot hit one side
+    only. Covers come from the content-hash cache (built by the headline
+    queries), so this times the kernel, not a compile."""
+    import numpy as np
+
+    from tzspark.api import TimezoneLookup
+    from tzspark.cells import resolve_points
+    from tzspark.zones import make_world_zones, make_zones
+
+    cache = os.path.join(CACHE, "covers")
+    small = TimezoneLookup(make_zones(n_coast=4000), cache_dir=cache).idx
+    world = TimezoneLookup(make_world_zones(), cache_dir=cache).idx
+    rng = np.random.default_rng(17)
+    lat_w = rng.uniform(-60, 60, n).astype(np.float32)
+    lng_w = rng.uniform(-180, 180, n).astype(np.float32)
+    lat_s = rng.uniform(-8, 44, n).astype(np.float32)
+    lng_s = rng.uniform(-8, 44, n).astype(np.float32)
+    best_s = best_w = 0.0
+    for _ in range(reps):  # interleaved: stalls hit both sides or neither
+        t0 = time.time()
+        resolve_points(small, lat_s, lng_s)
+        best_s = max(best_s, n / (time.time() - t0))
+        t0 = time.time()
+        resolve_points(world, lat_w, lng_w)
+        best_w = max(best_w, n / (time.time() - t0))
+    return {
+        "small_rows_sec": round(best_s, 1),
+        "world_rows_sec": round(best_w, 1),
+        "ratio": round(best_s / best_w, 3),
+        "fault_us": fault_probe(8),
+    }
+
+
 def bench_main():
     from tzspark.engine import get_spark
 
@@ -460,6 +499,9 @@ def bench_main():
                 "fault_us_per_page": [fault_us_before, fault_probe()],
                 "fault_us_by_query": fault_by_query,
                 "calm_waits": calm_waits,
+                # intrinsic world-vs-small kernel ratio (ADVICE r4: record
+                # it so drift under the 4x test gate is visible here)
+                "world_small_kernel": world_small_kernel_ratio(),
             }
         )
     )

@@ -275,3 +275,17 @@ def test_luma_moments_equal_decode_loop(spark, imgs):
         assert got["n_px"] == luma.size
         assert got["luma_sum"] == luma.sum()
         assert got["luma_sumsq"] == (luma * luma).sum()
+
+
+def test_offsets32_overflow_fails_loudly():
+    """int32 Arrow binary offsets must raise on a >2 GiB batch payload
+    instead of silently wrapping and corrupting blobs."""
+    from tzspark.imageops import _offsets32
+
+    ok = _offsets32(np.array([10, 0, 20], dtype=np.int64))
+    np.testing.assert_array_equal(ok, [0, 10, 10, 30])
+    assert ok.dtype == np.int32
+    assert _offsets32(np.zeros(0, dtype=np.int64)).tolist() == [0]
+    big = np.full(3, 900 * 1024 * 1024, dtype=np.int64)  # 2.6 GiB total
+    with pytest.raises(ValueError, match="overflows int32"):
+        _offsets32(big)

@@ -105,3 +105,28 @@ def test_simplify_zone_table_equals_driver_form(spark):
         np.testing.assert_array_equal(
             np.array(g["ring_lng"], dtype=np.float32), z.ring_lng
         )
+
+
+def test_spike_ring_fallback_keeps_positive_area():
+    """A spike ring (anchor and the two farthest vertices collinear) under
+    a huge eps must not collapse to a zero-area 'triangle': the fallback
+    swaps in the max-perpendicular-distance vertex."""
+    from tzspark.geom import ring_area_signed
+    from tzspark.simplify import simplify_ring
+
+    # vertices 0, 2, 3 are collinear on y=0 and farthest from the anchor;
+    # vertex 1 is the only off-axis point (tiny area)
+    lat = np.array([0.0, 0.05, 0.0, 0.0, 0.0])
+    lng = np.array([0.0, 5.0, 10.0, 8.0, 2.0])
+    sla, slg = simplify_ring(lat, lng, eps=100.0)
+    assert len(sla) >= 3
+    assert abs(ring_area_signed(sla, slg)) > 0.0
+
+
+def test_all_collinear_ring_fallback_does_not_crash():
+    from tzspark.simplify import simplify_ring
+
+    lat = np.zeros(6)
+    lng = np.arange(6, dtype=np.float64)
+    sla, slg = simplify_ring(lat, lng, eps=100.0)
+    assert len(sla) >= 3  # no valid triangle exists; degenerate in = degenerate out

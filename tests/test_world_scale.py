@@ -87,7 +87,10 @@ def test_world_throughput_near_small_set(world):
     at HEAD and at the round-3 code: world 0.69 M rows/s stable over 10
     reps, small 1.5-2.1 M rows/s; BASELINE.md round-4 note). Gate at 4x:
     beyond that a structural regression (lost interior claims, degenerate
-    cover) dominates any host noise."""
+    cover) dominates any host noise. Drift UNDER the gate is not invisible:
+    bench.py records the measured ratio in every artifact
+    (world_small_kernel.ratio, ADVICE r4), so a 3.2 -> 3.8x creep shows up
+    in BENCH_r{N}.json review even while this assert passes."""
     zones, idx, _ = world
     small = compile_cover(make_zones(n_coast=4000))
     rng = np.random.default_rng(17)

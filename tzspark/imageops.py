@@ -43,6 +43,24 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _offsets32(lens: np.ndarray) -> np.ndarray:
+    """int32 Arrow binary offsets from int64 per-row lengths, failing
+    LOUDLY if the batch's total payload would wrap 2 GiB (pa.binary()
+    offsets are int32; a silent cumsum(...).astype(int32) would wrap and
+    corrupt every blob after the overflow point). Callers control batch
+    size via spark.sql.execution.arrow.maxRecordsPerBatch; this guard
+    turns a mis-sized batch into an error instead of corrupt tensors."""
+    total = int(np.cumsum(lens, dtype=np.int64)[-1]) if lens.size else 0
+    if total > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"Arrow batch payload {total} B overflows int32 binary offsets "
+            "(2 GiB); lower arrow.maxRecordsPerBatch or the output size"
+        )
+    off = np.zeros(lens.shape[0] + 1, np.int32)
+    off[1:] = np.cumsum(lens).astype(np.int32)
+    return off
+
+
 def _phash_i64(buf) -> int:
     """blake2b-8 content hash of a pixel byte stream (== phash_pixels)."""
     return int.from_bytes(
@@ -244,8 +262,7 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
             # one Arrow buffer for the whole column: nulls get zero length
             lens = np.where(ok, out_len, 0).astype(np.int64)
-            off32 = np.zeros(n + 1, np.int32)
-            off32[1:] = np.cumsum(lens).astype(np.int32)
+            off32 = _offsets32(lens)
             values = pa.py_buffer(np.ascontiguousarray(buf[okw]).tobytes())
             validity = (
                 None if ok.all() else pa.py_buffer(np.packbits(ok, bitorder="little"))
@@ -526,8 +543,7 @@ def flip_images(images: DataFrame) -> DataFrame:
             # variable shapes -> variable blob lengths; build per-shape and
             # scatter into one concatenated values buffer
             lens = np.where(ok, HEADER_LEN + 3 * st["n_pixels"], 0).astype(np.int64)
-            off32 = np.zeros(n + 1, np.int32)
-            off32[1:] = np.cumsum(lens).astype(np.int32)
+            off32 = _offsets32(lens)
             values = np.zeros(int(off32[-1]), np.uint8)
             hdrs = np.zeros(n, dtype=_HEADER_DTYPE)
             hdrs["magic"] = MAGIC

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cells import Zone
-from .geom import F32
+from .geom import F32, ring_area_signed
 
 
 def _perp_dist2(lat, lng, a_lat, a_lng, b_lat, b_lng):
@@ -69,7 +69,12 @@ def simplify_ring(lat: np.ndarray, lng: np.ndarray, eps: float):
     """Simplify one implicitly-closed ring: anchor at vertex 0, run DP over
     the closed chain v0..vn..v0, and guarantee a valid ring (>= 3 vertices)
     by re-adding the two farthest-from-anchor vertices if DP collapses the
-    ring below a triangle (tiny rings under a large eps)."""
+    ring below a triangle (tiny rings under a large eps). If those two are
+    collinear WITH the anchor (a spike-shaped ring), the kept "triangle"
+    would have zero area: the max-perpendicular-distance vertex off the
+    anchor->farthest chord is used instead, so the output has positive
+    area whenever the input does (an all-collinear input has no valid
+    triangle and is returned as its three kept vertices)."""
     lat = np.asarray(lat, dtype=np.float64)
     lng = np.asarray(lng, dtype=np.float64)
     n = lat.shape[0]
@@ -84,6 +89,12 @@ def simplify_ring(lat: np.ndarray, lng: np.ndarray, eps: float):
             keep[k] = True
             if keep.sum() >= 3:
                 break
+        if abs(ring_area_signed(lat[keep], lng[keep])) == 0.0:
+            far = int(np.argmax(d2))
+            pd2 = _perp_dist2(lat, lng, lat[0], lng[0], lat[far], lng[far])
+            if pd2.max() > 0.0:
+                keep[:] = False
+                keep[[0, far, int(np.argmax(pd2))]] = True
     return lat[keep].astype(F32), lng[keep].astype(F32)
 
 
