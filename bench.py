@@ -318,12 +318,92 @@ def headline_queries(spark, images):
             .agg(F.count("*").alias("n_distinct"), F.sum("n").alias("n_imgs"))
         )
 
+    # --- round-5 world-scale rows for the shuffle-heavy spatial designs
+    # (VERDICT r4 item 7): overlay at 10^5 pairs, DBSCAN and co-location
+    # at 10^6 points — the operators whose skew behavior matters at 100x.
+    geo_rows = int(os.environ.get("SPARK_GRAFT_GEO_ROWS", "1000000"))
+
+    def _overlay_100k():
+        # G x G lattice of boxes + a half-pitch-shifted copy: every
+        # interior B box overlaps exactly 4 A boxes -> ~4*G^2 = 102k pairs
+        import numpy as np
+
+        from tzspark.cells import Zone
+        from tzspark.queries_geo import overlay_join_zones
+
+        G, s = 160, 120.0 / 160
+        za, zb = [], []
+        f32 = np.float32
+        for i in range(G):
+            la0 = -60.0 + i * s
+            for j in range(G):
+                lg0 = -60.0 + j * s
+                ring_lat = np.array([la0, la0, la0 + s, la0 + s], f32)
+                ring_lng = np.array([lg0, lg0 + s, lg0 + s, lg0], f32)
+                zid = i * G + j
+                za.append(Zone(zid, f"A/{zid}", ring_lat, ring_lng))
+                zb.append(
+                    Zone(
+                        1_000_000 + zid, f"B/{zid}",
+                        ring_lat + f32(s / 2), ring_lng + f32(s / 2),
+                    )
+                )
+        return (
+            overlay_join_zones(spark, za, zb, grid_bits=6)
+            .groupBy()
+            .agg(F.count("*").alias("n_pairs"), F.sum("inter_area").alias("area"))
+        )
+
+    def _geo_pts(n, hot_frac_mod=0):
+        # deterministic synthetic point stream (no RNG, partition-stable);
+        # hot_frac_mod=k sends every k-th point to ONE location (urban-core
+        # skew) so the blocked joins see a genuinely hot cell
+        base = spark.range(0, n, 1, max(CPUS * 4, 32)).select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.col("id") * 31, F.lit(5000)).alias("user_id"),
+            F.timestamp_seconds(F.pmod(F.col("id") * 17, F.lit(86400))).alias("ts"),
+            ((F.pmod(F.col("id") * 7919, F.lit(120000)) / 1000.0) - 60.0).alias("lat"),
+            ((F.pmod(F.col("id") * 104729, F.lit(320000)) / 1000.0) - 160.0).alias("lng"),
+        )
+        if hot_frac_mod:
+            hot = F.pmod(F.col("event_id"), F.lit(hot_frac_mod)) == 0
+            base = base.select(
+                "event_id", "user_id", "ts",
+                F.when(hot, 12.3456 + F.col("event_id") / 1e9).otherwise(F.col("lat")).alias("lat"),
+                F.when(hot, 45.6789 + F.col("event_id") / 1e9).otherwise(F.col("lng")).alias("lng"),
+            )
+        return base
+
+    def _dbscan_1m():
+        from tzspark.covertable import geo_dbscan
+
+        return (
+            geo_dbscan(_geo_pts(geo_rows), "event_id", eps=0.3, min_pts=3, res=10)
+            .groupBy("role")
+            .agg(F.count("*").alias("n"), F.sum("cluster_id").alias("s"))
+        )
+
+    def _coloc_1m():
+        from tzspark.covertable import colocation_pairs
+
+        return (
+            colocation_pairs(
+                _geo_pts(geo_rows, hot_frac_mod=50), "event_id", "user_id", "ts",
+                radius=0.1, window_s=600, res=10,
+            )
+            .groupBy()
+            .agg(F.count("*").alias("n_pairs"), F.round(F.avg("dist2"), 6).alias("avg_d2"))
+        )
+
     return {
         "sq8_search_1m": _sq8_search,
         "pq_search_1m": _pq_search,
         "patchify_1m": _patchify,
         "image_ahash_dedup_1m": _ahash,
         "proximity_pairs": _proximity,
+        "overlay_pairs_100k": _overlay_100k,
+        "geo_dbscan_1m": _dbscan_1m,
+        "colocation_1m": _coloc_1m,
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
         "world_lookup_join": _world_lookup_join,

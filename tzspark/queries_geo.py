@@ -2428,38 +2428,25 @@ SELECT event_id, ts, user_id FROM events ORDER BY event_id
 """
 
 
-def q95_overlay_join(spark, sf_dir):
-    """Polygon overlay join (ST_Intersection-aggregate analog) — the
-    classic GIS operation the engine lacked: every pair of overlapping
-    polygons across TWO zone layers, with the exact intersection AREA
-    computed by the real Sutherland-Hodgman clip kernel (geom.
-    clip_ring_rect — layer B zones are rectangles, so clipping A's actual
-    ring to B's window IS the general-polygon path q67 proved). Layer B =
-    the nation boxes shifted (+6 lat, +10 lng). Candidate pairs come from
-    a coarse-grid cell equi-join over bbox cover cells (never a cross
-    join — the overlay of two 10^7-polygon layers must block spatially),
-    deduped, exact-bbox-filtered, then ONE batched Sutherland-Hodgman
-    clip+shoelace per Arrow batch (geom.clip_rings_rect_batch — no
-    per-pair Python loop; VERDICT r4 item 3). Oracle: rectangle-rectangle
-    intersection arithmetic — integer-exact here, so a clipper or
-    blocking bug hash-fails."""
+def overlay_join_zones(spark, zones_a, zones_b, grid_bits: int = 3):
+    """Polygon overlay join core (ST_Intersection-aggregate analog): every
+    pair of overlapping polygons across TWO zone layers, with the exact
+    intersection AREA computed by the batched Sutherland-Hodgman clip
+    kernel (geom.clip_rings_rect_batch — layer B zones are rectangles, so
+    clipping A's actual ring to B's window IS the general-polygon path q67
+    proved). Candidate pairs come from a coarse-grid cell equi-join over
+    bbox cover cells (never a cross join — the overlay of two
+    10^7-polygon layers must block spatially), deduped,
+    exact-bbox-filtered, then ONE batched clip+shoelace per Arrow batch
+    (no per-pair Python loop; VERDICT r4 item 3). ``grid_bits`` sizes the
+    blocking grid (2^bits per axis): pick it so cells hold O(1) polygons
+    per layer — candidates per cell are |A_cell| x |B_cell|."""
     import pandas as pd
 
-    from .cells import Zone
     from .engine import zone_table_df
     from .geom import F32, clip_rings_rect_batch
 
-    zones_a = box_zones(spark, sf_dir)
-    zones_b = [
-        Zone(
-            1000 + z.zone_id,
-            "B/" + z.tzid,
-            z.ring_lat + np.float32(6),
-            z.ring_lng + np.float32(10),
-        )
-        for z in zones_a
-    ]
-    n = 1 << 3  # coarse 8x8 blocking grid
+    n = 1 << grid_bits
     za = zone_table_df(spark, zones_a)
     zb = zone_table_df(spark, zones_b).select(
         F.col("zone_id").alias("b_zone"),
@@ -2535,6 +2522,28 @@ def q95_overlay_join(spark, sf_dir):
         pairs.mapInPandas(_clip, "a_zone int, b_zone int, inter_area double")
         .orderBy("a_zone", "b_zone")
     )
+
+
+def q95_overlay_join(spark, sf_dir):
+    """Overlay join over the nation boxes vs their shifted copies (layer B
+    = +6 lat, +10 lng) — the oracle-checked instance of
+    overlay_join_zones. Oracle: rectangle-rectangle intersection
+    arithmetic — integer-exact here, so a clipper or blocking bug
+    hash-fails. The 10^5-pair scale instance runs in bench.py
+    (overlay_pairs_100k)."""
+    from .cells import Zone
+
+    zones_a = box_zones(spark, sf_dir)
+    zones_b = [
+        Zone(
+            1000 + z.zone_id,
+            "B/" + z.tzid,
+            z.ring_lat + np.float32(6),
+            z.ring_lng + np.float32(10),
+        )
+        for z in zones_a
+    ]
+    return overlay_join_zones(spark, zones_a, zones_b, grid_bits=3)
 
 
 Q95_SQL = f"""
