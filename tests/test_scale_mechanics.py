@@ -411,3 +411,97 @@ def test_approx_aggregates_bounded_against_exact(spark):
         exact_u,
         approx_u,
     )
+
+
+def test_aqe_skew_split_fires_on_colocation_key(spark):
+    """Co-location's (cell, time-bucket) self-join under a dense-urban hot
+    key: a blob of events sharing ONE location and ONE time bucket makes
+    that (cell, bucket) shuffle partition dominate both join inputs. The
+    plan must admit AQE's skew split (`AQEShuffleRead skewed` in the final
+    adaptive plan), and the split must not change the pair set — checked
+    as a full checksum (count + id/dt sums) against the identical query
+    with skew-join handling disabled. Companion to
+    test_aqe_skew_split_fires_on_hot_cell_join for the 3D blocking key
+    (covertable.colocation_pairs docstring: 'hot (cell,bucket) keys are
+    ordinary join skew, AQE-splittable')."""
+    from tzspark.covertable import colocation_pairs
+
+    n_hot, n_bg = 3000, 2000
+    # hot: one point, timestamps within one 600 s bucket, 200 users cycling
+    # -> ~C(2500,2) cross-user candidate pairs, all inside one join key
+    pts = spark.range(0, n_hot + n_bg, 1, 8).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(200)).alias("user_id"),
+        F.timestamp_seconds(
+            F.when(F.col("id") < n_hot, F.pmod(F.col("id"), F.lit(300)))
+            .otherwise(F.pmod(F.col("id") * 17, F.lit(86400)))
+        ).alias("ts"),
+        F.when(F.col("id") < n_hot, 12.34 + F.col("id") / 1e8)
+        .otherwise(-60.0 + F.pmod(F.col("id") * 7919, F.lit(120000)) / 1000.0)
+        .cast("float")
+        .alias("lat"),
+        F.when(F.col("id") < n_hot, 45.67 + F.col("id") / 1e8)
+        .otherwise(-160.0 + F.pmod(F.col("id") * 104729, F.lit(320000)) / 1000.0)
+        .cast("float")
+        .alias("lng"),
+    )
+
+    def checksum(df):
+        return df.groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum("id_a").alias("sa"),
+            F.sum("id_b").alias("sb"),
+            F.sum("dt_us").alias("st"),
+        ).first()
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        # scaled-down thresholds (defaults fire at 256 MB partitions); no
+        # broadcast so the self-join actually shuffles on (cell, bucket)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "4096"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        q = colocation_pairs(
+            pts, "event_id", "user_id", "ts", radius=0.05, window_s=600, res=8
+        )
+        agg = q.groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum("id_a").alias("sa"),
+            F.sum("id_b").alias("sb"),
+            F.sum("dt_us").alias("st"),
+        )
+        got = agg.collect()[0]  # collect(), not first(): first() runs a
+        # separate limit plan, leaving agg's own adaptive plan unexecuted
+        plan = _plan(agg)
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan[:3000]
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+        want = checksum(
+            colocation_pairs(
+                pts, "event_id", "user_id", "ts", radius=0.05, window_s=600, res=8
+            )
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert tuple(got) == tuple(want), (got, want)
