@@ -83,7 +83,10 @@ _ROUND5_FIRST = [
     "q84_patchify", "q87_flip_patchify", "q92_snapshot_merge",
     "q94_image_quality_filter", "q97_cluster_metadata", "q100_tile_shard_pack",
     "q30_resize", "q31_stream_assign",
-    # the 32 recorded only in round 3:
+    # new in round 5, never driver-recorded either:
+    "q101_substring_dedup", "q102_semdedup",
+    # the 30 highest-value of the names recorded only in round 3 (the two
+    # displaced r3-only names, q50/q51, keep their r3 green rows):
     "q13_dedup_exact", "q14_ngram_jaccard", "q15_minhash_lsh", "q16_simhash",
     "q17_lang_id", "q18_quality_score", "q19_token_count", "q20_doc_fingerprint",
     "q21_ann_bruteforce", "q22_ann_lsh_bucket", "q23_embed_near_dup",
@@ -93,7 +96,7 @@ _ROUND5_FIRST = [
     "q37_near_dup_clusters", "q38_centroid_outliers", "q41_full_engine_boxes",
     "q42_full_engine_boxes_join", "q44_dedup_canonical", "q45_asof_join",
     "q46_sessionize", "q47_tfidf_topterms", "q48_pii_scrub",
-    "q49_stratified_sample", "q50_chunk_documents", "q51_sequence_pack",
+    "q49_stratified_sample",
 ]
 
 
