@@ -728,6 +728,74 @@ def main():
     if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas", p41):
         failures.append("semdedup: unexpected Python stage (pure column ops)")
 
+    # 42-45. final round-5 wave: sharpness gate, dissolve, resample,
+    # boundary distance
+    from tzspark.queries_extra import q103_image_sharpness
+    from tzspark.queries_geo import (
+        q104_zone_dissolve,
+        q105_trajectory_resample,
+        q106_boundary_distance,
+    )
+
+    # 42. sharpness (q103): exactly ONE Arrow crossing (the gradient
+    # kernel — the only stage that touches payload bytes); the keep flag
+    # is JVM column math; no shuffle before the presentation sort
+    p42 = plan_of(q103_image_sharpness(spark, sf001))
+    sections.append(("image sharpness gate (gradient energy)", p42))
+    if len(re.findall(r"\(\d+\) MapInArrow", p42)) != 1:
+        # the image synth hides behind the shared _images cache
+        # (InMemoryTableScan), so the gradient kernel is the ONE visible
+        # Arrow stage; never per-row Python
+        failures.append("sharpness: expected exactly 1 Arrow stage (the gradient kernel)")
+    if "InMemoryTableScan" not in p42:
+        failures.append("sharpness: shared image table lost its cache")
+    if re.search(r"BatchEvalPython|ArrowEvalPython", p42):
+        failures.append("sharpness: row-wise/scalar Python UDF leaked in")
+    if len(re.findall(r"\(\d+\) Exchange\b", p42)) > 3:
+        # 2 live inside the cached synth relation's stored plan; the only
+        # exchange the QUERY adds is the presentation sort
+        failures.append("sharpness: query added shuffles beyond the presentation sort")
+
+    # 43. dissolve (q104): the adjacency self-join must be a broadcast
+    # equi-join on zclass (never a cartesian product), and the CC loop's
+    # label state is checkpointed (no unbounded lineage in the plan)
+    p43 = plan_of(q104_zone_dissolve(spark, sf001))
+    sections.append(("zone dissolve (adjacency CC + merged bbox)", p43))
+    if re.search(r"CartesianProduct", p43):
+        failures.append("dissolve: adjacency degenerated to a cartesian product")
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas|BatchEvalPython", p43):
+        failures.append("dissolve: unexpected Python stage (pure column ops + CC)")
+    if not re.search(r"Scan ExistingRDD|LogicalRDD", p43):
+        failures.append("dissolve: CC labels not checkpointed (lineage unbounded)")
+
+    # 44. resample (q105): one Exchange feeds the LEAD window; the grid
+    # explode (Generate) runs AFTER the window with no further shuffle
+    # before the presentation sort; all JVM
+    p44 = plan_of(q105_trajectory_resample(spark, sf001))
+    sections.append(("trajectory resample (LEAD + hour-grid explode)", p44))
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas|BatchEvalPython", p44):
+        failures.append("resample: unexpected Python stage (window + explode are JVM)")
+    if len(re.findall(r"\(\d+\) Window\b", p44)) != 1:
+        failures.append("resample: expected exactly one LEAD window")
+    if len(re.findall(r"\(\d+\) Generate\b", p44)) != 1:
+        failures.append("resample: expected exactly one Generate (the grid explode)")
+    n_ex44 = len(re.findall(r"\(\d+\) Exchange\b", p44))
+    if n_ex44 > 2:
+        failures.append(
+            f"resample: {n_ex44} Exchanges (expected <=2: user window + final sort)"
+        )
+
+    # 45. boundary distance (q106): the engine resolve is the single Arrow
+    # probe; the box attach is a broadcast hash join; edge math is JVM
+    p45 = plan_of(q106_boundary_distance(spark, sf001))
+    sections.append(("boundary distance (geofence margin)", p45))
+    if len(re.findall(r"\(\d+\) ArrowEvalPython", p45)) != 1:
+        failures.append("boundary: expected exactly ONE Arrow stage (the resolve probe)")
+    if "BroadcastHashJoin" not in p45:
+        failures.append("boundary: box attach is not a broadcast hash join")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p45):
+        failures.append("boundary: unexpected cross join")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "

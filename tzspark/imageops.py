@@ -676,3 +676,91 @@ def image_luma_moments(images: DataFrame) -> DataFrame:
             )
 
     return images.select("image_id", "bytes").mapInArrow(_moments, MOMENTS_SCHEMA)
+
+
+GRADIENT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("n_edges", T.LongType(), False),
+        T.StructField("grad_sum", T.LongType(), False),
+    ]
+)
+
+
+def image_gradient_energy(images: DataFrame) -> DataFrame:
+    """Exact integer gradient energy per image — the blur/sharpness signal
+    an image-curation pipeline filters on (LAION-style "discard soft or
+    flat frames" stage; reference analog: the per-payload invariants of
+    timezone.go's fixture checks extended to a quality gate).
+
+    Energy = sum of |luma(x+1,y) - luma(x,y)| over all horizontal neighbor
+    pairs plus |luma(x,y+1) - luma(x,y)| over all vertical pairs, where
+    luma is the x1000-scaled ITU integer 299R+587G+114B of the DECODED
+    pixels. Everything is int64 — no float summation order anywhere — so
+    the result is bit-comparable cross-engine (the DuckDB oracle recomputes
+    it with two window LAGs over the synthetic pixel grid). n_edges =
+    h*(w-1) + w*(h-1) normalizes across the mixed 8x8/16x16/32x24 corpus.
+
+    One mapInArrow stage sharing image_luma_moments' shape-grouped gather:
+    one payload read + two vectorized |diff| reductions per (h, w) group;
+    zero per-image Python. Failed decodes are dropped (same contract as
+    the moments kernel q94 builds on)."""
+    import pyarrow as pa
+
+    from .engine import _arrow_binary_view
+    from .imagecodec import batch_image_stats
+
+    names = [f.name for f in GRADIENT_SCHEMA.fields]
+
+    def _grad(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            data, offs, valid = _arrow_binary_view(batch.column(1))
+            st = batch_image_stats(data, offs, keep_decoded=True)
+            ok = st["ok"] if valid is None else st["ok"] & valid
+            n = len(ok)
+            ps = offs[:-1] + HEADER_LEN
+            decoded, dstart, rle_rows, good = st["rle"]
+            rle_start = np.full(n, -1, np.int64)
+            rle_start[rle_rows[good]] = dstart[:-1][good]
+            is_rle_row = np.zeros(n, bool)
+            is_rle_row[rle_rows] = True
+            fmtc = st["fmt_code"]
+            h64, w64 = st["h"], st["w"]
+            okw = np.flatnonzero(ok)
+            o_idx, o_edges, o_sum = [], [], []
+            for hh, ww in sorted(set(zip(h64[okw].tolist(), w64[okw].tolist()))):
+                sel = okw[(h64[okw] == hh) & (w64[okw] == ww)]
+                span = np.arange(3 * hh * ww, dtype=np.int64)
+                n_edges = hh * (ww - 1) + ww * (hh - 1)
+                for rows, src, start, qnt in (
+                    (sel[fmtc[sel] == FMT_CODES["raw"]], data, ps, False),
+                    (sel[fmtc[sel] == FMT_CODES["qnt"]], data, ps, True),
+                    (sel[is_rle_row[sel]], decoded, rle_start, False),
+                ):
+                    k = rows.shape[0]
+                    if k == 0:
+                        continue
+                    g = src[start[rows][:, None] + span[None, :]].astype(np.int64)
+                    if qnt:
+                        g = (g << 2) + 2
+                    px = g.reshape(k, hh, ww, 3)
+                    luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                    gs = np.abs(np.diff(luma, axis=2)).sum(axis=(1, 2))
+                    gs += np.abs(np.diff(luma, axis=1)).sum(axis=(1, 2))
+                    o_idx.append(rows)
+                    o_edges.append(np.full(k, n_edges, np.int64))
+                    o_sum.append(gs)
+            if not o_idx:
+                continue
+            idx = np.concatenate(o_idx)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(np.concatenate(o_edges)),
+                    pa.array(np.concatenate(o_sum)),
+                ],
+                names=names,
+            )
+
+    return images.select("image_id", "bytes").mapInArrow(_grad, GRADIENT_SCHEMA)

@@ -1399,6 +1399,66 @@ ORDER BY a.zone_id
 """
 
 
+_SHARP_T = 12_000  # x1000-scaled luma units per neighbor edge; the corpus
+# median is ~12_025 (measured sf0.001/sf0.01), so the gate is a real split,
+# not a pass-through.
+
+
+def q103_image_sharpness(spark, sf_dir):
+    """Blur/sharpness curation gate — the "discard soft or flat frames"
+    stage of an image training pipeline (the quality filter family next to
+    q94's moment-based one, but measuring local structure, not global
+    spread: a high-variance but smooth gradient image passes q94 and
+    fails here). Per image, gradient energy = sum of |Δluma| over all
+    horizontal + vertical neighbor pairs of the DECODED pixels, integer
+    throughout (imageops.image_gradient_energy); keep iff energy is
+    strictly above _SHARP_T per neighbor edge, compared as
+    grad_sum > T * n_edges so no float division can flip a decision.
+    The DuckDB oracle recomputes the energy from the pixel-synthesis
+    arithmetic with two window LAGs over the (i, y, x) grid.
+
+    Scale shape: one mapInArrow pass over the payload (the only stage that
+    touches bytes), then pure column ops — at 10^12 images this is a scan,
+    no shuffle at all until the caller aggregates."""
+    from .imageops import image_gradient_energy
+
+    g = image_gradient_energy(_images(spark, sf_dir).select("image_id", "bytes"))
+    return g.select(
+        "image_id",
+        "n_edges",
+        "grad_sum",
+        (F.col("grad_sum") > F.lit(_SHARP_T) * F.col("n_edges"))
+        .cast("boolean")
+        .alias("keep"),
+    ).orderBy("image_id")
+
+
+def _q103_sql() -> str:
+    full_grid = f"""
+  SELECT d.i, d.w, d.h, d.fmt, d.phase, sy.v AS y, sx.v AS x
+    FROM ({_DIMS_SQL}) d
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sy ON sy.v < d.h
+    JOIN (SELECT unnest(generate_series(0, 31)) AS v) sx ON sx.v < d.w"""
+    return f"""
+WITH lu AS (
+  SELECT i, x, y, CAST(299 * r + 587 * g + 114 * b AS BIGINT) AS luma
+  FROM ({_decoded_px_sql(full_grid)})
+),
+gx AS (SELECT i, ABS(luma - LAG(luma) OVER (PARTITION BY i, y ORDER BY x)) AS d FROM lu),
+gy AS (SELECT i, ABS(luma - LAG(luma) OVER (PARTITION BY i, x ORDER BY y)) AS d FROM lu),
+g AS (
+  SELECT i, CAST(SUM(d) AS BIGINT) AS grad_sum
+  FROM (SELECT * FROM gx UNION ALL SELECT * FROM gy) GROUP BY i
+)
+SELECT 'img' || lpad(CAST(d.i AS VARCHAR), 12, '0') AS image_id,
+       CAST(d.h * (d.w - 1) + d.w * (d.h - 1) AS BIGINT) AS n_edges,
+       g.grad_sum,
+       g.grad_sum > {_SHARP_T} * (d.h * (d.w - 1) + d.w * (d.h - 1)) AS keep
+FROM ({_DIMS_SQL}) d JOIN g ON g.i = d.i
+ORDER BY image_id
+"""
+
+
 EXTRA_QUERIES = {
     "q24_extract_gps": q24_extract_gps,
     "q41_full_engine_boxes": q41_full_engine_boxes,
@@ -1421,6 +1481,7 @@ EXTRA_QUERIES = {
     "q94_image_quality_filter": q94_image_quality_filter,
     "q97_cluster_metadata": q97_cluster_metadata,
     "q100_tile_shard_pack": q100_tile_shard_pack,
+    "q103_image_sharpness": q103_image_sharpness,
 }
 EXTRA_ORACLES["q63_snapshot_time_travel"] = Q63_SQL
 EXTRA_ORACLES["q92_snapshot_merge"] = Q92_SQL
@@ -1434,6 +1495,7 @@ EXTRA_ORACLES["q94_image_quality_filter"] = _q94_sql()
 EXTRA_ORACLES["q97_cluster_metadata"] = _q97_sql()
 EXTRA_ORACLES["q100_tile_shard_pack"] = _q100_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
+EXTRA_ORACLES["q103_image_sharpness"] = _q103_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.
 EXTRA_ORACLES["q27_full_engine_synthetic"] = _q27_sql()

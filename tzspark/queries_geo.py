@@ -2647,7 +2647,278 @@ ORDER BY from_zone, to_zone
 """
 
 
+def q104_zone_dissolve(spark, sf_dir):
+    """Polygon DISSOLVE — the GIS merge operator (union adjacent
+    same-attribute geometries; the reference's zone set is the dissolved
+    form of timezone-boundary-builder's per-country pieces, so this is the
+    PREPARATION step a zone-database build runs before compile_cover).
+    Zones group by a deterministic class attribute zclass = (zone_id*3)
+    div 7 — chosen over n_regionkey because the synthetic region mapping
+    makes each region exactly one fully-connected lattice row (every
+    component trivially = its whole group); this class yields the mixed
+    structure a dissolve must handle: 13 components of sizes 3/2/1 at
+    sf0.01, singletons included. Adjacency = sharing a boundary segment of
+    POSITIVE length (corner-only touches excluded — proper GIS dissolve
+    semantics, expressed as edge-coordinate equality + open interval
+    overlap on the other axis, exact because the lattice corners are
+    integers). Connected components over the adjacency graph use the same
+    pointer-jumping min-label kernel as the dedup families (min_label_cc,
+    O(log L) rounds); each component rolls up to its merged bbox. Scale
+    shape: adjacency is a self-equi-join on the shared-edge coordinate
+    (here trivially small; at world scale it joins on snapped
+    boundary-segment keys, never all-pairs), CC state is |zones| rows,
+    and the rollup partial-aggregates — no stage touches points at all.
+    Oracle: recursive-CTE reachability closure in DuckDB."""
+    from .queries_text import min_label_cc
+
+    b = boxes_df(spark, sf_dir).withColumn(
+        "zclass", F.expr("(zone_id * 3) div 7").cast("int")
+    )
+    a1 = b.select(*[F.col(c).alias(f"a_{c}") for c in b.columns])
+    a2 = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    lng_touch = (F.col("a_max_lng") == F.col("b_min_lng")) | (
+        F.col("b_max_lng") == F.col("a_min_lng")
+    )
+    lat_overlap = (F.col("a_min_lat") < F.col("b_max_lat")) & (
+        F.col("b_min_lat") < F.col("a_max_lat")
+    )
+    lat_touch = (F.col("a_max_lat") == F.col("b_min_lat")) | (
+        F.col("b_max_lat") == F.col("a_min_lat")
+    )
+    lng_overlap = (F.col("a_min_lng") < F.col("b_max_lng")) & (
+        F.col("b_min_lng") < F.col("a_max_lng")
+    )
+    edges = (
+        a1.join(a2, F.col("a_zclass") == F.col("b_zclass"))
+        .where(F.col("a_zone_id") != F.col("b_zone_id"))
+        .where((lng_touch & lat_overlap) | (lat_touch & lng_overlap))
+        .select(F.col("a_zone_id").alias("src"), F.col("b_zone_id").alias("dst"))
+    )
+    labels, _rounds = min_label_cc(edges)
+    lab = b.join(
+        labels.withColumnRenamed("doc_id", "zone_id"), "zone_id", "left"
+    ).withColumn("dissolve_id", F.coalesce("canon_id", "zone_id").cast("int"))
+    return (
+        lab.groupBy("dissolve_id", "zclass")
+        .agg(
+            F.count("*").alias("n_zones"),
+            F.min("min_lat").alias("min_lat"),
+            F.max("max_lat").alias("max_lat"),
+            F.min("min_lng").alias("min_lng"),
+            F.max("max_lng").alias("max_lng"),
+        )
+        .orderBy("dissolve_id")
+    )
+
+
+Q104_SQL = f"""
+WITH RECURSIVE b AS (
+  SELECT x.*, CAST((x.zone_id * 3) // 7 AS INTEGER) AS zclass
+  FROM ({BOXES_SQL.strip()}) x
+),
+e AS (
+  SELECT a.zone_id AS src, c.zone_id AS dst
+  FROM b a JOIN b c
+    ON a.zclass = c.zclass AND a.zone_id <> c.zone_id
+   AND (((a.max_lng = c.min_lng OR c.max_lng = a.min_lng)
+          AND a.min_lat < c.max_lat AND c.min_lat < a.max_lat)
+     OR ((a.max_lat = c.min_lat OR c.max_lat = a.min_lat)
+          AND a.min_lng < c.max_lng AND c.min_lng < a.max_lng))
+),
+reach(zone_id, lbl) AS (
+  SELECT zone_id, zone_id FROM b
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.zone_id
+),
+lab AS (SELECT zone_id, MIN(lbl) AS dissolve_id FROM reach GROUP BY zone_id)
+SELECT CAST(l.dissolve_id AS INTEGER) AS dissolve_id, b.zclass,
+       COUNT(*) AS n_zones,
+       MIN(b.min_lat) AS min_lat, MAX(b.max_lat) AS max_lat,
+       MIN(b.min_lng) AS min_lng, MAX(b.max_lng) AS max_lng
+FROM b JOIN lab l USING (zone_id)
+GROUP BY 1, 2
+ORDER BY dissolve_id
+"""
+
+
+_RESAMPLE_US = 3_600_000_000  # 1 h grid, in epoch microseconds
+
+
+def q105_trajectory_resample(spark, sf_dir):
+    """Trajectory resampling to a regular cadence — the mobility-training
+    preprocessing step (irregular GPS fixes -> fixed hourly positions via
+    linear interpolation between the surrounding fixes; the temporal
+    analog of q68's spatial IDW). Per user ordered by (ts, event_id):
+    LEAD gives the next fix, F.sequence generates the hour-grid epochs in
+    the half-open (t0, t1] span (integer div/mod arithmetic on epoch
+    MICROS, so both engines enumerate identical grids), and the position
+    lerps with frac = (g - t0)/(t1 - t0) — identical int64 inputs, so the
+    float64 division is bit-equal cross-engine. Scale shape: ONE Exchange
+    on user_id feeds the LEAD window; the explode is output-proportional
+    (bounded by span-hours, not fix pairs); no UDF, no second shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+    p = (
+        pts_df(spark, sf_dir, with_user=True)
+        .select("user_id", "event_id", "ts", "lat", "lng")
+        # timestamp_diff, not unix_micros: NTZ-safe (same convention as
+        # q89's version slicing), and DuckDB's epoch_us agrees exactly
+        .withColumn("t0", F.timestamp_diff("MICROSECOND", epoch, F.col("ts")))
+    )
+    H = _RESAMPLE_US
+    seg = p.select(
+        "user_id",
+        "t0",
+        "lat",
+        "lng",
+        F.lead("t0").over(w).alias("t1"),
+        F.lead("lat").over(w).alias("lat1"),
+        F.lead("lng").over(w).alias("lng1"),
+    ).where(F.col("t1").isNotNull())
+    first = (F.col("t0") - F.col("t0") % H + H).cast("long")
+    last = (F.col("t1") - F.col("t1") % H).cast("long")
+    g = (
+        seg.withColumn(
+            "grid",
+            F.when(
+                first <= last, F.sequence(first, last, F.lit(H).cast("long"))
+            ).otherwise(F.array().cast("array<long>")),
+        )
+        .select("user_id", "t0", "t1", "lat", "lng", "lat1", "lng1",
+                F.explode("grid").alias("t_grid"))
+        .withColumn(
+            "frac",
+            (F.col("t_grid") - F.col("t0")).cast("double")
+            / (F.col("t1") - F.col("t0")).cast("double"),
+        )
+    )
+    return g.select(
+        "user_id",
+        "t_grid",
+        F.round(F.col("lat") + F.col("frac") * (F.col("lat1") - F.col("lat")), 6)
+        .alias("lat"),
+        F.round(F.col("lng") + F.col("frac") * (F.col("lng1") - F.col("lng")), 6)
+        .alias("lng"),
+    ).orderBy("user_id", "t_grid")
+
+
+Q105_SQL = f"""
+WITH pts AS (
+SELECT event_id, ts, user_id,
+       (user_id * 7 % 180) - 90 + value / 1e6 AS lat,
+       CAST((event_id * 13 % 360) - 180 AS DOUBLE) AS lng
+FROM events
+),
+seg AS (
+  SELECT user_id, epoch_us(ts) AS t0, lat, lng,
+         LEAD(epoch_us(ts)) OVER w AS t1,
+         LEAD(lat) OVER w AS lat1,
+         LEAD(lng) OVER w AS lng1
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT s.*, gs.g AS t_grid,
+         CAST(gs.g - s.t0 AS DOUBLE) / CAST(s.t1 - s.t0 AS DOUBLE) AS frac
+  FROM seg s
+  JOIN LATERAL (
+    SELECT unnest(generate_series(
+      s.t0 - s.t0 % {_RESAMPLE_US} + {_RESAMPLE_US},
+      s.t1 - s.t1 % {_RESAMPLE_US},
+      {_RESAMPLE_US})) AS g
+  ) gs ON TRUE
+  WHERE s.t1 IS NOT NULL
+)
+SELECT user_id, t_grid,
+       ROUND(lat + frac * (lat1 - lat), 6) AS lat,
+       ROUND(lng + frac * (lng1 - lng), 6) AS lng
+FROM g
+ORDER BY user_id, t_grid
+"""
+
+
+def q106_boundary_distance(spark, sf_dir):
+    """Distance-to-zone-boundary — the geofence MARGIN operator (alerting
+    fires on "inside but within d of the fence", not on containment
+    alone; also the coastal-proximity feature of geospatial training
+    sets). Points resolve through the real compiled-cover engine path
+    (q11's interior-shortcut + boundary PIP), then the distance to each of
+    the four box edges is pure column arithmetic; the nearest edge label
+    breaks ties deterministically (S < N < W < E priority via the struct
+    argmin's second key). Scale shape: the resolve is the engine's
+    broadcast probe, the rest never shuffles; the margin filter pushes
+    down to a scan predicate at 10^12 rows."""
+    from .engine import resolve_only_udf
+
+    zones = box_zones(spark, sf_dir)
+    idx = compile_cover(zones, base_res=3, max_res=7)
+    bidx = spark.sparkContext.broadcast(idx)
+    p = pts_df(spark, sf_dir)
+    # no explicit zone_id >= 0 filter (the inner join against boxes, ids all
+    # >= 0, drops unresolved rows for free) AND the probe is marked
+    # nondeterministic — the same single-evaluation guard the fused engine
+    # lookup uses (engine.py lookup_udf): otherwise Catalyst's inferred
+    # join-key isnotnull filter extracts the Python UDF twice (observed as
+    # two ArrowEvalPython stages = the probe running 2x per row);
+    # PLANS.md asserts the probe stays single
+    probe = resolve_only_udf(bidx).asNondeterministic()
+    r = p.withColumn("zone_id", probe(F.col("lat"), F.col("lng")))
+    b = boxes_df(spark, sf_dir).select("zone_id", "min_lat", "max_lat",
+                                       "min_lng", "max_lng")
+    j = r.join(F.broadcast(b), "zone_id")
+    edges = [
+        F.col("lat") - F.col("min_lat"),   # 0 = S
+        F.col("max_lat") - F.col("lat"),   # 1 = N
+        F.col("lng") - F.col("min_lng"),   # 2 = W
+        F.col("max_lng") - F.col("lng"),   # 3 = E
+    ]
+    # numeric priority in the struct's SECOND key: exact distance ties (the
+    # integer lng grid makes d_w == d_e common) resolve S < N < W < E on
+    # BOTH engines — a string key would sort "E" first lexicographically
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(k).alias("pri"))
+                for k, d in enumerate(edges)
+            ]
+        )
+    )
+    names = F.array(F.lit("S"), F.lit("N"), F.lit("W"), F.lit("E"))
+    return j.select(
+        "event_id",
+        "zone_id",
+        F.round(best["d"], 6).alias("dist_edge"),
+        F.element_at(names, best["pri"] + 1).alias("edge"),
+        (best["d"] < 1.0).alias("margin_alert"),
+    ).orderBy("event_id")
+
+
+Q106_SQL = f"""
+WITH pts AS ({PTS_SQL.strip()}),
+boxes AS ({BOXES_SQL.strip()}),
+j AS (
+  SELECT p.event_id, b.zone_id,
+         p.lat - b.min_lat AS d_s, b.max_lat - p.lat AS d_n,
+         p.lng - b.min_lng AS d_w, b.max_lng - p.lng AS d_e
+  FROM pts p JOIN boxes b ON {_CONTAIN}
+),
+m AS (
+  SELECT *, LEAST(d_s, d_n, d_w, d_e) AS dmin FROM j
+)
+SELECT event_id, zone_id,
+       ROUND(dmin, 6) AS dist_edge,
+       CASE WHEN dmin = d_s THEN 'S' WHEN dmin = d_n THEN 'N'
+            WHEN dmin = d_w THEN 'W' ELSE 'E' END AS edge,
+       dmin < 1.0 AS margin_alert
+FROM m
+ORDER BY event_id
+"""
+
+
 GEO_QUERIES = {
+    "q104_zone_dissolve": (q104_zone_dissolve, Q104_SQL),
+    "q105_trajectory_resample": (q105_trajectory_resample, Q105_SQL),
+    "q106_boundary_distance": (q106_boundary_distance, Q106_SQL),
     "q99_od_flow_matrix": (q99_od_flow_matrix, Q99_SQL),
     "q96_mobility_entropy": (q96_mobility_entropy, _q96_sql()),
     "q95_overlay_join": (q95_overlay_join, Q95_SQL),
