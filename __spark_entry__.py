@@ -87,8 +87,9 @@ _ROUND5_FIRST = [
     "q101_substring_dedup", "q102_semdedup",
     "q103_image_sharpness", "q104_zone_dissolve",
     "q105_trajectory_resample", "q106_boundary_distance",
-    # the 26 highest-value of the names recorded only in round 3 (the six
-    # displaced r3-only names, q46-q50 and q51, keep their r3 green rows):
+    "q107_scene_cuts", "q108_unigram_surprisal", "q109_daylight_consistency",
+    # the 23 highest-value of the names recorded only in round 3 (the nine
+    # displaced r3-only names, q42 and q44-q51, keep their r3 green rows):
     "q13_dedup_exact", "q14_ngram_jaccard", "q15_minhash_lsh", "q16_simhash",
     "q17_lang_id", "q18_quality_score", "q19_token_count", "q20_doc_fingerprint",
     "q21_ann_bruteforce", "q22_ann_lsh_bucket", "q23_embed_near_dup",
@@ -96,7 +97,6 @@ _ROUND5_FIRST = [
     "q27_full_engine_synthetic", "q29_image_features", "q32_ivf_assign",
     "q33_ivf_search", "q34_simhash_near_dup", "q35_corpus_clean",
     "q37_near_dup_clusters", "q38_centroid_outliers", "q41_full_engine_boxes",
-    "q42_full_engine_boxes_join", "q44_dedup_canonical", "q45_asof_join",
 ]
 
 

@@ -796,6 +796,49 @@ def main():
     if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p45):
         failures.append("boundary: unexpected cross join")
 
+    # 46-48. final wave: scene cuts, surprisal, daylight consistency
+    from tzspark.queries_extra import q107_scene_cuts, q109_daylight_consistency
+    from tzspark.queries_text import q108_unigram_surprisal
+
+    # 46. scene cuts (q107): one MapInArrow (the moments kernel; image
+    # synth is cached), one LAG window on clip_id, cut math all JVM
+    p46 = plan_of(q107_scene_cuts(spark, sf001))
+    sections.append(("scene-cut detection (luma-jump per clip)", p46))
+    if len(re.findall(r"\(\d+\) MapInArrow", p46)) != 1:
+        failures.append("scene-cuts: expected exactly 1 Arrow stage (moments kernel)")
+    if len(re.findall(r"\(\d+\) Window\b", p46)) != 1:
+        failures.append("scene-cuts: expected exactly one LAG window")
+    if re.search(r"BatchEvalPython|ArrowEvalPython", p46):
+        failures.append("scene-cuts: scalar Python UDF leaked in")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p46):
+        failures.append("scene-cuts: unexpected cross join")
+
+    # 47. surprisal (q108): ALL JVM (explode + aggs + joins); the token
+    # dim and the corpus-total scalar attach as BROADCAST joins (the scan
+    # shape at 10^12 docs); partial aggregation present
+    p47 = plan_of(q108_unigram_surprisal(spark, sf001))
+    sections.append(("unigram surprisal (perplexity-filter family)", p47))
+    if re.search(r"ArrowEvalPython|MapInArrow|MapInPandas|BatchEvalPython", p47):
+        failures.append("surprisal: unexpected Python stage (pure column ops)")
+    if len(re.findall(r"\(\d+\) BroadcastHashJoin", p47)) < 1:
+        failures.append("surprisal: token-count attach lost its broadcast")
+    if not re.search(r"partial", p47):
+        failures.append("surprisal: aggs lost map-side combine")
+
+    # 48. daylight consistency (q109): the assignment's ONE Arrow probe +
+    # the moments kernel's ONE MapInArrow; offset dim broadcast; no cross
+    # join anywhere
+    p48 = plan_of(q109_daylight_consistency(spark, sf001))
+    sections.append(("daylight consistency (geo x image cross-modal)", p48))
+    if len(re.findall(r"\(\d+\) MapInArrow", p48)) != 1:
+        failures.append("daylight: expected exactly 1 MapInArrow (moments kernel)")
+    if len(re.findall(r"\(\d+\) ArrowEvalPython", p48)) != 1:
+        failures.append("daylight: expected exactly 1 ArrowEvalPython (the probe)")
+    if "BroadcastHashJoin" not in p48:
+        failures.append("daylight: offset/moments attach lost its broadcast join")
+    if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p48):
+        failures.append("daylight: unexpected cross join")
+
     out = ["# Physical plans (generated by scripts/explain_plans.py)\n"]
     out.append(
         "Plan properties asserted in CI-style checks at the bottom; regenerate "

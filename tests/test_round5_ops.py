@@ -212,3 +212,92 @@ def test_boundary_distance_semantics(spark):
     if tie.any():
         assert (j.loc[tie, "edge"] == "W").all()
     assert (j["margin_alert"] == (dmin < 1.0)).all()
+
+
+# ---------------------------------------------------------------------------
+# q107: scene cuts
+# ---------------------------------------------------------------------------
+
+
+def test_scene_cut_decision_matches_pandas(spark):
+    """Engine flags == a pandas recompute from the same moments kernel:
+    per clip ordered by (ts, event_id), |mean-luma jump| > T via the
+    integer cross-multiply (no float division on either side)."""
+    import pandas as pd
+
+    from tzspark.imageops import image_luma_moments
+    from tzspark.queries_extra import _CUT_T, _images, q107_scene_cuts
+
+    sf = "/root/testdata/sf0.01"
+    out = q107_scene_cuts(spark, sf).toPandas()
+    m = image_luma_moments(_images(spark, sf).select("image_id", "bytes")).toPandas()
+    m["event_id"] = m["image_id"].str[3:].astype("int64")
+    ev = pd.read_parquet(f"{sf}/events.parquet")[["event_id", "user_id", "ts"]]
+    fr = m.merge(ev, on="event_id").sort_values(["user_id", "ts", "event_id"])
+    g = fr.groupby("user_id")
+    fr["pls"] = g["luma_sum"].shift()
+    fr["pnp"] = g["n_px"].shift()
+    fr = fr.dropna(subset=["pls"])
+    jump = (fr["luma_sum"] * fr["pnp"].astype("int64")
+            - fr["pls"].astype("int64") * fr["n_px"]).abs()
+    want = jump > _CUT_T * fr["n_px"] * fr["pnp"].astype("int64")
+    got = out.set_index("event_id")["is_cut"]
+    assert len(out) == len(fr)
+    assert (got.loc[fr["event_id"]].to_numpy() == want.to_numpy()).all()
+    # non-degenerate: both classes present
+    assert 0 < out["is_cut"].sum() < len(out)
+
+
+# ---------------------------------------------------------------------------
+# q108: unigram surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_surprisal_hand_computed(spark, tmp_path):
+    """3 docs over a 2-word vocab: surprisal per token is exactly
+    log2(N/cnt) and the per-doc average matches by hand."""
+    import math
+    import os
+
+    from tzspark.queries_text import q108_unigram_surprisal
+
+    docs = [
+        (1, "a a a a", "en", "s", 7),
+        (2, "a a b b", "en", "s", 7),
+        (3, "b a a a", "en", "s", 7),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = q108_unigram_surprisal(spark, d).toPandas().set_index("doc_id")
+    # N=12, cnt(a)=9, cnt(b)=3
+    sa, sb = math.log2(12 / 9), math.log2(12 / 3)
+    want = {1: sa, 2: (2 * sa + 2 * sb) / 4, 3: (3 * sa + sb) / 4}
+    for doc, w in want.items():
+        assert out.loc[doc, "avg_surprisal"] == round(w, 6)
+        assert out.loc[doc, "n_tokens"] == 4
+    # doc 2 (more rare tokens) must score strictly higher than doc 1
+    assert out.loc[2, "avg_surprisal"] > out.loc[1, "avg_surprisal"]
+
+
+# ---------------------------------------------------------------------------
+# q109: daylight consistency
+# ---------------------------------------------------------------------------
+
+
+def test_daylight_consistency_invariants(spark):
+    """suspect == night AND bright exactly; hours in [0, 24); bright agrees
+    with the integer mean-luma compare; both populated classes exist."""
+    from tzspark.queries_extra import _BRIGHT_T, q109_daylight_consistency
+
+    out = q109_daylight_consistency(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(out) == 10000
+    assert out["local_hour"].between(0, 23).all()
+    night = (out["local_hour"] >= 22) | (out["local_hour"] < 4)
+    bright = out["luma_sum"] > _BRIGHT_T * out["n_px"]
+    assert (out["night"] == night).all()
+    assert (out["bright"] == bright).all()
+    assert (out["suspect"] == (night & bright)).all()
+    assert 0 < out["suspect"].sum() < len(out)

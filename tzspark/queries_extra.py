@@ -1459,8 +1459,177 @@ ORDER BY image_id
 """
 
 
+_CUT_T = 14_000  # x1000-luma mean-jump per frame pair; corpus median ~13.9k
+
+
+def q107_scene_cuts(spark, sf_dir):
+    """Shot-boundary (scene-cut) detection over frame sequences — the
+    video-pipeline operator next to q28's frame sampler: a training
+    pipeline cuts clips at visual discontinuities before sampling frames.
+    Clips = users; each user's images ordered by capture (ts, event_id)
+    form the frame stream (the q82 keying). The classic mean-intensity
+    method, integer-exact: per frame the x1000-ITU luma moments (q94's
+    one-Arrow-pass kernel), then a LAG window per clip and
+    cut iff |mean jump| > T, compared as
+    |ls_a*np_b - ls_b*np_a| > T*np_a*np_b — pure int64 cross-multiply, no
+    float division anywhere (products bounded by 2*10^11 << 2^63).
+    Scale shape: one Arrow moments pass, one equi-join on the unique
+    event_id, ONE clip_id Exchange for the window; at 10^12 frames the
+    window state is per-clip, never corpus-wide."""
+    from pyspark.sql.window import Window
+
+    from .imageops import image_luma_moments
+
+    m = image_luma_moments(_images(spark, sf_dir).select("image_id", "bytes"))
+    keyed = m.select(
+        F.substring("image_id", 4, 12).cast("long").alias("event_id"),
+        F.col("luma_sum").alias("ls"),
+        F.col("n_px").alias("np"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    fr = keyed.join(ev, "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = fr.select(
+        F.col("user_id").alias("clip_id"),
+        "event_id",
+        "ls",
+        "np",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lag("ls").over(w).alias("pls"),
+        F.lag("np").over(w).alias("pnp"),
+    ).where(F.col("prev_event_id").isNotNull())
+    jump = F.abs(F.col("ls") * F.col("pnp") - F.col("pls") * F.col("np"))
+    return d.select(
+        "clip_id",
+        "event_id",
+        "prev_event_id",
+        jump.alias("jump_num"),
+        (F.col("np") * F.col("pnp")).alias("jump_den"),
+        (jump > F.lit(_CUT_T) * F.col("np") * F.col("pnp")).alias("is_cut"),
+    ).orderBy("clip_id", "event_id")
+
+
+def _q107_sql() -> str:
+    return f"""
+WITH s AS ({PIXSUMS_SQL}),
+lu AS (
+  SELECT i, CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS BIGINT) AS ls,
+         CAST(npx AS BIGINT) AS np
+  FROM s
+),
+fr AS (
+  SELECT e.user_id, e.ts, e.event_id, l.ls, l.np
+  FROM events e JOIN lu l ON l.i = e.event_id
+),
+d AS (
+  SELECT user_id AS clip_id, event_id, ls, np,
+         LAG(event_id) OVER w AS prev_event_id,
+         LAG(ls) OVER w AS pls, LAG(np) OVER w AS pnp
+  FROM fr WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT clip_id, event_id, prev_event_id,
+       ABS(ls * pnp - pls * np) AS jump_num,
+       np * pnp AS jump_den,
+       ABS(ls * pnp - pls * np) > {_CUT_T} * np * pnp AS is_cut
+FROM d WHERE prev_event_id IS NOT NULL
+ORDER BY clip_id, event_id
+"""
+
+
+_BRIGHT_T = 128_000  # x1000-luma mean; corpus median ~127.5k
+
+
+def q109_daylight_consistency(spark, sf_dir):
+    """Daylight-consistency validation — the geo x image CROSS-MODAL check
+    a geotagged training corpus runs to catch wrong/spoofed GPS or
+    timestamps: an image whose resolved zone-local solar time says deep
+    night but whose pixels are bright is metadata-suspect. Composition:
+    the fused zone assignment (q41 path), the q82 solar-offset local
+    clock, and the q94 luma moments — three existing kernels, one new
+    decision. bright = luma_sum > B*n_px (integer, x1000 units); night =
+    local_hour in [22, 4); suspect = night AND bright. Scale shape: one
+    Arrow moments pass + the assignment's one Arrow probe, equi-join on
+    the unique image key, broadcast 25-row offset dim; the rollup-free
+    per-image output keeps every decision pinned."""
+    a, dim = _q41_assigned(spark, sf_dir)
+    off = dim.select(
+        "zone_id",
+        F.round(((F.col("min_lng") + F.col("max_lng")) / F.lit(2.0)) / F.lit(15.0))
+        .cast("int")
+        .alias("offset_hours"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    from .imageops import image_luma_moments
+
+    m = image_luma_moments(_images(spark, sf_dir).select("image_id", "bytes"))
+    keyed = a.select(
+        "image_id",
+        "zone_id",
+        F.substring("image_id", 4, 12).cast("long").alias("event_id"),
+    )
+    j = (
+        keyed.join(ev, "event_id")
+        .join(F.broadcast(off), "zone_id")
+        .join(m, "image_id")
+        .withColumn("local_ts", F.expr("timestampadd(HOUR, offset_hours, ts)"))
+        .withColumn("local_hour", F.hour("local_ts"))
+    )
+    bright = F.col("luma_sum") > F.lit(_BRIGHT_T) * F.col("n_px")
+    night = (F.col("local_hour") >= 22) | (F.col("local_hour") < 4)
+    return j.select(
+        "image_id",
+        "zone_id",
+        "local_hour",
+        "luma_sum",
+        F.col("n_px").cast("long").alias("n_px"),
+        bright.alias("bright"),
+        night.alias("night"),
+        (bright & night).alias("suspect"),
+    ).orderBy("image_id")
+
+
+def _q109_sql() -> str:
+    from .queries_geo import BOXES_SQL
+
+    return f"""
+WITH a AS ({Q41_SQL}),
+off AS (
+  SELECT zone_id,
+         CAST(ROUND(((min_lng + max_lng) / 2.0) / 15.0) AS INTEGER) AS offset_hours
+  FROM ({BOXES_SQL})
+),
+s AS ({PIXSUMS_SQL}),
+lu AS (
+  SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+         CAST(299 * sum_r + 587 * sum_g + 114 * sum_b AS BIGINT) AS luma_sum,
+         CAST(npx AS BIGINT) AS n_px
+  FROM s
+),
+j AS (
+  SELECT a.image_id, a.zone_id, l.luma_sum, l.n_px,
+         CAST(EXTRACT(hour FROM e.ts + o.offset_hours * INTERVAL 1 HOUR)
+              AS INTEGER) AS local_hour
+  FROM a
+  JOIN events e ON CAST(SUBSTR(a.image_id, 4, 12) AS BIGINT) = e.event_id
+  JOIN off o ON a.zone_id = o.zone_id
+  JOIN lu l ON l.image_id = a.image_id
+)
+SELECT image_id, zone_id, local_hour, luma_sum, n_px,
+       luma_sum > {_BRIGHT_T} * n_px AS bright,
+       (local_hour >= 22 OR local_hour < 4) AS night,
+       (luma_sum > {_BRIGHT_T} * n_px AND (local_hour >= 22 OR local_hour < 4))
+         AS suspect
+FROM j
+ORDER BY image_id
+"""
+
+
 EXTRA_QUERIES = {
     "q24_extract_gps": q24_extract_gps,
+    "q107_scene_cuts": q107_scene_cuts,
+    "q109_daylight_consistency": q109_daylight_consistency,
     "q41_full_engine_boxes": q41_full_engine_boxes,
     "q42_full_engine_boxes_join": q42_full_engine_boxes_join,
     "q25_psnr_invariant": q25_psnr_invariant,
@@ -1496,6 +1665,8 @@ EXTRA_ORACLES["q97_cluster_metadata"] = _q97_sql()
 EXTRA_ORACLES["q100_tile_shard_pack"] = _q100_sql()
 EXTRA_ORACLES["q71_zonal_image_stats"] = _q71_sql()
 EXTRA_ORACLES["q103_image_sharpness"] = _q103_sql()
+EXTRA_ORACLES["q107_scene_cuts"] = _q107_sql()
+EXTRA_ORACLES["q109_daylight_consistency"] = _q109_sql()
 
 # _q27_sql needs the definitions above; register it after the dict literals.
 EXTRA_ORACLES["q27_full_engine_synthetic"] = _q27_sql()

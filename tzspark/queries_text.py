@@ -2621,8 +2621,66 @@ ORDER BY asg.vec_id
 """
 
 
+_SURP_T = 4.95  # bits/token; flags the ~5% high-surprisal tail at sf0.01
+
+
+def q108_unigram_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal scoring — the perplexity-filter family of
+    training-data curation (CCNet/Gopher drop documents whose LM
+    cross-entropy is anomalous; the unigram model is its first-order,
+    fully-relational form). Two passes over the token stream: corpus
+    unigram counts (one partial-aggregating groupBy — the token dim is
+    VOCABULARY-sized, broadcastable at any corpus scale), then per doc the
+    average -log2 p(w) = log2(N) - avg log2 cnt(w). The division and log2
+    run on identical int64 inputs in both engines, and the per-doc mean is
+    rounded to 6 dp so float summation ORDER (Spark partial aggs vs
+    DuckDB's single pass, ~1e-12 apart) cannot flip the hash. Scale shape:
+    explode -> count (map-side combinable) -> broadcast token attach ->
+    one per-doc agg; scan-shaped at 10^12 docs."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    # lazy broadcast scalar (the q47 pattern — no eager driver count())
+    tot = toks.groupBy().agg(F.count("*").alias("n_total"))
+    s = (
+        toks.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.avg(F.log2(F.col("n_total") / F.col("cnt"))).alias("_surp"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_surp", 6).alias("avg_surprisal"),
+        (F.col("_surp") > F.lit(_SURP_T)).alias("high_surprisal"),
+    ).orderBy("doc_id")
+
+
+Q108_SQL = f"""
+WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+tot AS (SELECT COUNT(*) AS n_total FROM t),
+s AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         AVG(LOG2(tot.n_total * 1.0 / c.cnt)) AS surp
+  FROM t JOIN c USING (w) CROSS JOIN tot
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(surp, 6) AS avg_surprisal,
+       surp > {_SURP_T} AS high_surprisal
+FROM s
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES = {
     "q98_decontaminate": (q98_decontaminate, Q98_SQL),
+    "q108_unigram_surprisal": (q108_unigram_surprisal, Q108_SQL),
     "q90_bm25_rank": (q90_bm25_rank, Q90_SQL),
     "q86_countmin_tokens": (q86_countmin_tokens, Q86_SQL),
     "q85_mix_interleave": (q85_mix_interleave, Q85_SQL),
