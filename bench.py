@@ -448,6 +448,52 @@ def headline_queries(spark, images):
             .agg(F.count("*").alias("n_pairs"), F.round(F.avg("dist2"), 6).alias("avg_d2"))
         )
 
+    def _resample_1m():
+        # the q105 shuffle shape at 1M fixes / 5k users: ONE user Exchange
+        # feeds the LEAD window, then the hour-grid Generate explodes
+        # output-proportionally — the window+explode family's scale row
+        from pyspark.sql import Window as W
+
+        H = 3_600_000_000
+        p = _geo_pts(geo_rows).withColumn(
+            "t0",
+            F.timestamp_diff(
+                "MICROSECOND",
+                F.to_timestamp(F.lit("1970-01-01 00:00:00")),
+                F.col("ts"),
+            ),
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        seg = p.select(
+            "user_id", "t0", "lat", "lng",
+            F.lead("t0").over(w).alias("t1"),
+            F.lead("lat").over(w).alias("lat1"),
+            F.lead("lng").over(w).alias("lng1"),
+        ).where(F.col("t1").isNotNull())
+        first = (F.col("t0") - F.col("t0") % H + H).cast("long")
+        last = (F.col("t1") - F.col("t1") % H).cast("long")
+        g = (
+            seg.withColumn(
+                "grid",
+                F.when(first <= last,
+                       F.sequence(first, last, F.lit(H).cast("long")))
+                .otherwise(F.array().cast("array<long>")),
+            )
+            .select(
+                "user_id", "t0", "t1", "lat", "lng", "lat1", "lng1",
+                F.explode("grid").alias("tg"),
+            )
+            .withColumn(
+                "frac",
+                (F.col("tg") - F.col("t0")).cast("double")
+                / (F.col("t1") - F.col("t0")).cast("double"),
+            )
+        )
+        return g.groupBy().agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.sum(F.col("lat") + F.col("frac") * (F.col("lat1") - F.col("lat"))), 4).alias("s_lat"),
+        )
+
     return {
         "sq8_search_1m": _sq8_search,
         "pq_search_1m": _pq_search,
@@ -458,6 +504,7 @@ def headline_queries(spark, images):
         "overlay_pairs_100k": _overlay_100k,
         "geo_dbscan_300k": _dbscan_300k,
         "colocation_1m": _coloc_1m,
+        "trajectory_resample_1m": _resample_1m,
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
         "world_lookup_join": _world_lookup_join,
