@@ -448,6 +448,42 @@ def headline_queries(spark, images):
             .agg(F.count("*").alias("n_pairs"), F.round(F.avg("dist2"), 6).alias("avg_d2"))
         )
 
+    def _substring_dedup():
+        # the text-dedup family's scale row: 200k synthetic docs x 40
+        # tokens (6.6M shingle postings through the q101 pipeline); every
+        # 10th doc carries a 16-token span shared within its 100-doc block
+        # (planted ground truth: exactly 20k duplicated spans, 320k span
+        # tokens), the rest of the token stream is doc-unique so only real
+        # spans survive the >= 2-distinct-docs postings mark
+        from tzspark.queries_text import substring_dup_spans
+
+        n_docs = 200_000
+        tok = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.when(
+                (F.col("id") % 10 == 0) & (j >= 5) & (j <= 20),
+                F.concat(
+                    F.lit("s"),
+                    ((F.col("id") / 100).cast("long") * 100 + j).cast("string"),
+                ),
+            ).otherwise(
+                # doc-unique background token (id and j both in the name):
+                # no cross-doc shingle can repeat outside the planted
+                # spans, so the ground truth is exact — 20k spans of 16
+                F.concat(
+                    F.lit("w"), F.col("id").cast("string"),
+                    F.lit("x"), j.cast("string"),
+                )
+            ),
+        )
+        docs = spark.range(0, n_docs, 1, max(CPUS * 2, 16)).select(
+            F.col("id").alias("doc_id"), F.array_join(tok, " ").alias("text")
+        )
+        return substring_dup_spans(docs, 8).groupBy().agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_tokens").alias("s_tokens"),
+        )
+
     def _resample_1m():
         # the q105 shuffle shape at 1M fixes / 5k users: ONE user Exchange
         # feeds the LEAD window, then the hour-grid Generate explodes
@@ -505,6 +541,7 @@ def headline_queries(spark, images):
         "geo_dbscan_300k": _dbscan_300k,
         "colocation_1m": _coloc_1m,
         "trajectory_resample_1m": _resample_1m,
+        "substring_dedup_200k": _substring_dedup,
         "pipeline_lookup": lambda: run_pipeline(spark, images),
         "lookup_world_zones": _world_lookup,
         "world_lookup_join": _world_lookup_join,

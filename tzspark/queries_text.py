@@ -2460,8 +2460,15 @@ def q101_substring_dedup(spark, sf_dir):
     Output: one row per maximal duplicated span [span_start, span_end]
     (1-based token indices, inclusive). Oracle: the same postings + islands
     in ANSI SQL over string_split."""
-    k = _SPAN_K
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    return substring_dup_spans(_docs(spark, sf_dir).select("doc_id", "text"), _SPAN_K)
+
+
+def substring_dup_spans(docs, k):
+    """Core of q101 as a reusable operator: docs(doc_id, text) -> maximal
+    cross-document duplicated token spans (see q101's docstring for the
+    pipeline + scale argument). Shared by the driver query and the
+    200k-doc bench row."""
+    d = docs.select("doc_id", F.split("text", " ").alias("w"))
     sh = (
         d.where(F.size("w") >= k)
         .select(
