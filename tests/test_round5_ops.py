@@ -301,3 +301,25 @@ def test_daylight_consistency_invariants(spark):
     assert (out["bright"] == bright).all()
     assert (out["suspect"] == (night & bright)).all()
     assert 0 < out["suspect"].sum() < len(out)
+
+
+# ---------------------------------------------------------------------------
+# substring_dup_spans (q101 core, shared with the bench row)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_crafted(spark):
+    """Two docs sharing one 5-token run (k=3): the maximal island must be
+    exactly that run in both docs, at their different positions; the
+    unique tails contribute nothing."""
+    from tzspark.queries_text import substring_dup_spans
+
+    shared = "a b c d e"
+    docs = [
+        (1, f"x1 x2 {shared} x3 x4"),     # shared at tokens 3..7
+        (2, f"{shared} y1 y2 y3 y4 y5"),  # shared at tokens 1..5
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["doc_id"]): (r["span_start"], r["span_end"], r["span_tokens"])
+           for r in substring_dup_spans(df, 3).collect()}
+    assert out == {1: (3, 7, 5), 2: (1, 5, 5)}
