@@ -962,14 +962,32 @@ def geo_dbscan(
     """
     from .queries_text import min_label_cc
 
-    pairs = proximity_self_join(
-        points, key_col, radius=eps, res=res, lat_col=lat_col, lng_col=lng_col
-    ).select("id_a", "id_b")
+    # The eps-pair join is the expensive upstream plan here; materialize it
+    # ONCE (round 6). Without this every downstream consumer — the degree
+    # agg, BOTH sides of the core-core edge build, every CC round, the
+    # border join and the noise anti-join — re-evaluated the whole
+    # cell-blocked self-join from scratch (measured: the 300k bench row at
+    # 36 s official, the 1M form at 81-97 s/rep, both dominated by repeated
+    # pair-join recomputation, not by any single pass).
+    pairs = (
+        proximity_self_join(
+            points, key_col, radius=eps, res=res, lat_col=lat_col, lng_col=lng_col
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     deg = edges.groupBy("id_a").agg(F.count("*").alias("deg"))
-    cores = deg.where(F.col("deg") >= min_pts).select(F.col("id_a").alias("_k"))
+    # cores is consumed 4x (both ce sides, core_lab, border anti-join) and
+    # is tiny (one id per core point) — one more checkpoint keeps the
+    # degree agg from running 4x.
+    cores = (
+        deg.where(F.col("deg") >= min_pts)
+        .select(F.col("id_a").alias("_k"))
+        .localCheckpoint()
+    )
     ce = (
         edges.join(cores.select(F.col("_k").alias("id_a")), "id_a")
         .join(cores.select(F.col("_k").alias("id_b")), "id_b")
@@ -992,9 +1010,14 @@ def geo_dbscan(
         .agg(F.min("_cid").alias("cluster_id"))
         .select(F.col("id_a").alias("_k"), "cluster_id")
     )
-    assigned = core_lab.select(
-        "_k", F.lit("core").alias("role"), "cluster_id"
-    ).union(border.select("_k", F.lit("border").alias("role"), "cluster_id"))
+    # assigned is consumed twice (noise anti-join + final union) and is one
+    # small row per non-noise point; materialize so the border join/agg
+    # chain runs once.
+    assigned = (
+        core_lab.select("_k", F.lit("core").alias("role"), "cluster_id")
+        .union(border.select("_k", F.lit("border").alias("role"), "cluster_id"))
+        .localCheckpoint()
+    )
     noise = (
         points.select(F.col(key_col).alias("_k"))
         .join(assigned.select("_k"), "_k", "left_anti")
