@@ -2512,13 +2512,19 @@ def substring_dup_spans(docs, k):
             F.xxhash64("sh").alias("h"),
         )
     )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
+    # "shingle seen in >= 2 distinct docs" == min(doc_id) != max(doc_id)
+    # over the hash partition — one window pass instead of the old
+    # groupBy + left-semi join back, which computed the (expensive:
+    # sequence+slice+array_join per position) shingle stream TWICE and
+    # shuffled it twice. Same marked set, one shingle pass, one Exchange.
+    w_h = Window.partitionBy("h")
+    marked = (
+        sh.withColumn(
+            "_dup", F.min("doc_id").over(w_h) != F.max("doc_id").over(w_h)
+        )
+        .where(F.col("_dup"))
+        .select("doc_id", "pos")
     )
-    marked = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return (
