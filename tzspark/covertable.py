@@ -272,6 +272,21 @@ class CoverTables:
     # partition transform. Bucket cols must EQUAL the join keys — a strict
     # subset makes the planner disable the bucketed scan (measured).
 
+    def interior_res_levels(self):
+        """Sorted resolutions that actually carry interior cells, memoized
+        per CoverTables instance (a one-off <= (max_res-base_res+1)-row
+        metadata read, the partition-pruning analog for the probe side).
+
+        The probe explode enumerates a point's ancestor cell per
+        resolution; a resolution with ZERO interior cells can never match,
+        so skipping it is exact regardless of data. At the world operating
+        point the cover holds interior cells only at res 9-10, so this
+        cuts the interior probe exchange from 7 to 2 rows per point."""
+        if getattr(self, "_res_levels", None) is None:
+            rows = self.interior.select("res").distinct().collect()
+            self._res_levels = sorted(r["res"] for r in rows)
+        return self._res_levels
+
     def _bucket_specs(self):
         ks = list(self.keys)
         return [
@@ -420,22 +435,6 @@ def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
     pruned-edge float32 ray cast; both candidate streams min-aggregate per
     key. ``cover.keys`` columns (e.g. tenant) must be present in pts."""
     ks = list(cover.keys)
-    anc = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(r).alias("res"),
-                    cell_id_col(F.col("_lat"), F.col("_lng"), r).alias("cell_id"),
-                )
-                for r in range(cover.base_res, cover.max_res + 1)
-            ]
-        )
-    ).alias("a")
-    pi = pts.select("_k", *ks, anc).select("_k", *ks, "a.res", "a.cell_id")
-    im = pi.join(
-        cover.interior.hint("shuffle_hash"), [*ks, "res", "cell_id"]
-    ).select("_k", F.col("zmin").alias("cand"))
-
     pb = pts.withColumn(
         "cell_id", cell_id_col(F.col("_lat"), F.col("_lng"), cover.max_res)
     )
@@ -445,6 +444,30 @@ def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
         F.col("ea_lat"), F.col("ea_lng"), F.col("eb_lat"), F.col("eb_lng"),
     )
     bm = jb.where(inside).select("_k", F.col("zone_id").alias("cand"))
+
+    # interior probe: only the resolutions that CARRY interior cells
+    # (interior_res_levels) — a res with no cells can never match, so the
+    # explode shrinks from (max_res-base_res+1) rows/point to the live
+    # levels (2 at the world operating point: probe exchange 7M -> 2M rows
+    # at the 1M-image bench row).
+    levels = cover.interior_res_levels()
+    if not levels:
+        return bm.groupBy("_k").agg(F.min("cand").alias("_zid"))
+    anc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("res"),
+                    cell_id_col(F.col("_lat"), F.col("_lng"), r).alias("cell_id"),
+                )
+                for r in levels
+            ]
+        )
+    ).alias("a")
+    pi = pts.select("_k", *ks, anc).select("_k", *ks, "a.res", "a.cell_id")
+    im = pi.join(
+        cover.interior.hint("shuffle_hash"), [*ks, "res", "cell_id"]
+    ).select("_k", F.col("zmin").alias("cand"))
     return im.unionAll(bm).groupBy("_k").agg(F.min("cand").alias("_zid"))
 
 
