@@ -622,23 +622,65 @@ def assign_images_via_join(
     engine.assign_timezones' row semantics with zero broadcasts; used by
     api.TimezoneLookup.assign_join (batch) and streaming.stream_assign_join
     (per micro-batch)."""
+    from pyspark.storagelevel import StorageLevel
+
     from .engine import extract_gps_udf, gps_header_col
 
-    g = images.withColumn("g", extract_gps_udf()(gps_header_col(F.col("bytes"))))
-    pts = g.select(
-        "*",
-        F.col("g.lat").alias("lat"),
-        F.col("g.lng").alias("lng"),
-        (
-            ~F.col("g.gps_ok")
-            | ~F.col("g.lat").between(-90.0, 90.0)
-            | ~F.col("g.lng").between(-180.0, 180.0)
-        ).alias("quarantined"),
-    ).drop("g")
-    ok = pts.where(~F.col("quarantined")).withColumn(
-        "cell_id", cell_id_col(F.col("lat"), F.col("lng"), cover.max_res)
+    ks = list(cover.keys)
+    # Narrow decision branch (round 6): ONLY the key [+ tenant keys] and the
+    # 17-byte header prefix enter Python; the old shape passed the FULL
+    # image frame through the quarantine filter into assign_via_join, whose
+    # final key join then re-ran the scan + extract UDF a second time just
+    # to re-derive the filter (the only non-pruned dependency). The zone
+    # map's key set equals the non-quarantined key set by construction
+    # (every surviving point gets a zone via resolve or kNN), so the heavy
+    # side can be the RAW image table — no Python stage, scan pruned to the
+    # consumer's columns — with lat/lng re-attached from the persisted
+    # narrow projection and cell_id/quarantined recomputed/constant.
+    # asNondeterministic: the quarantine filter references the UDF's struct
+    # fields, and Catalyst otherwise re-instantiates the UDF below the
+    # pushed filter — two stacked ArrowEvalPython nodes per evaluation
+    # (the q106 double-eval defect; guide-pattern guard, engine.lookup_udf
+    # does the same). The function itself is pure.
+    g = images.select(
+        F.col(key_col).alias("_k"),
+        *ks,
+        extract_gps_udf().asNondeterministic()(
+            gps_header_col(F.col("bytes"))
+        ).alias("g"),
     )
-    return assign_via_join(ok, key_col, cover, persist=persist)
+    pts = g.where(
+        F.col("g.gps_ok")
+        & F.col("g.lat").between(-90.0, 90.0)
+        & F.col("g.lng").between(-180.0, 180.0)
+    ).select(
+        "_k", *ks, F.col("g.lat").alias("_lat"), F.col("g.lng").alias("_lng")
+    )
+    if persist:
+        pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = _resolve_cands(pts, cover)  # (_k, _zid) for MATCHED keys only
+    if persist:
+        cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    un = pts.join(cands.select("_k"), "_k", "left_anti")
+    kbest = _knn_best(un, cover)  # (_k, _zid) for the unmatched keys
+    zmap = cands.withColumn("via_knn", F.lit(False)).unionByName(
+        kbest.withColumn("via_knn", F.lit(True))
+    )
+    attach = pts.select("_k", "_lat", "_lng").join(zmap, "_k")
+    return (
+        images.join(attach, F.col(key_col) == F.col("_k"), "inner")
+        .select(
+            *images.columns,
+            F.col("_lat").alias("lat"),
+            F.col("_lng").alias("lng"),
+            F.lit(False).alias("quarantined"),
+            cell_id_col(F.col("_lat"), F.col("_lng"), cover.max_res).alias(
+                "cell_id"
+            ),
+            "via_knn",
+            F.col("_zid").cast("int").alias("zone_id"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
