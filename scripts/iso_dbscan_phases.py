@@ -53,7 +53,7 @@ def main(n=300_000):
         .join(cores.select(F.col("_k").alias("id_b")), "id_b")
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    labels, rounds = tick("3 CC total", lambda: min_label_cc(ce))
+    labels, rounds = tick("3 CC total", lambda: min_label_cc(ce, nodes=cores.select(F.col("_k").alias("doc_id"))))
     labels = labels[0] if isinstance(labels, tuple) else labels
     print(f"   rounds={rounds}", flush=True)
     core_lab = cores.join(labels, cores["_k"] == labels["doc_id"], "left").select(

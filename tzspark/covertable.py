@@ -1058,7 +1058,7 @@ def geo_dbscan(
         .join(cores.select(F.col("_k").alias("id_b")), "id_b")
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    labels, _ = min_label_cc(ce)
+    labels, _ = min_label_cc(ce, nodes=cores.select(F.col("_k").alias("doc_id")))
     core_lab = cores.join(labels, cores["_k"] == labels["doc_id"], "left").select(
         cores["_k"],
         F.coalesce("canon_id", cores["_k"]).cast("long").alias("cluster_id"),

@@ -824,8 +824,14 @@ FROM d2 GROUP BY lang
 # --- near-dup clustering (connected components over candidate pairs) --------
 
 
-def min_label_cc(edges, max_rounds: int = 32):
+def min_label_cc(edges, max_rounds: int = 32, nodes=None):
     """Connected components by min-label propagation WITH pointer jumping.
+
+    ``nodes`` (optional, DataFrame with a doc_id column) supplies the node
+    set when the caller already holds it materialized — skipping the
+    distinct over the full edge table. It must contain every edge
+    endpoint; extra isolated nodes are harmless (they keep canon_id ==
+    doc_id and never re-enter the frontier after round 1).
 
     edges(src, dst) must be symmetric. Each round computes, per node,
     least(own label, min neighbor label, label-of-own-label) — the last term
@@ -867,8 +873,10 @@ def min_label_cc(edges, max_rounds: int = 32):
     sp = edges.sparkSession
     nshuf = int(sp.conf.get("spark.sql.shuffle.partitions"))
     edges = edges.repartition(nshuf, "src").localCheckpoint()
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = (
-        edges.select(F.col("src").alias("doc_id")).distinct()
+        nodes.select(F.col("doc_id"))
         .withColumn("canon_id", F.col("doc_id"))
         .withColumn("_chg", F.lit(True))
         .localCheckpoint()
@@ -882,18 +890,24 @@ def min_label_cc(edges, max_rounds: int = 32):
             .groupBy(edges["dst"].alias("doc_id"))
             .agg(F.min("canon_id").alias("nb_min"))
         )
-        jmp = labels.select(
-            F.col("doc_id").alias("canon_id"), F.col("canon_id").alias("jump_min")
-        )
-        upd = F.least(
+        terms = [
             F.col("canon_id"),
             F.coalesce(F.col("nb_min"), F.col("canon_id")),
-            F.coalesce(F.col("jump_min"), F.col("canon_id")),
-        )
+        ]
+        new = labels.select("doc_id", "canon_id")
+        if rounds > 1:
+            # round 1 labels are the identity, so label-of-label == label:
+            # the jump join is a provable no-op there and is skipped on the
+            # round with the largest frontier.
+            jmp = labels.select(
+                F.col("doc_id").alias("canon_id"),
+                F.col("canon_id").alias("jump_min"),
+            )
+            new = new.join(jmp, "canon_id", "left")
+            terms.append(F.coalesce(F.col("jump_min"), F.col("canon_id")))
+        upd = F.least(*terms) if len(terms) > 1 else terms[0]
         new = (
-            labels.select("doc_id", "canon_id")
-            .join(jmp, "canon_id", "left")
-            .join(nb, "doc_id", "left")
+            new.join(nb, "doc_id", "left")
             .select(
                 "doc_id",
                 upd.alias("new_canon"),
