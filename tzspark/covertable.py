@@ -793,6 +793,24 @@ def radius_join(
     )
 
 
+def _blocking_res(res: int, radius: float) -> int:
+    """Refine a point-point radius join's blocking grid so a cell is never
+    much coarser than the search radius. Candidates per point scale like
+    (2r/cell + 1)^2 * density * cell^2 — minimized near cell ~ r (the
+    classic grid-join sizing) — so blocking at a cell several times r
+    multiplies candidate volume by the density of the hottest cells
+    (measured on the 1M-image bench stream: res 12 for r=0.01 emitted
+    1.58e9 candidates for 7.9e7 true pairs). Returns the finest resolution
+    whose cell is still >= radius, never coarser than the caller's ``res``
+    (output is blocking-independent; this only prunes candidates)."""
+    import math
+
+    if radius <= 0:
+        return res
+    fine = int(math.floor(math.log2(180.0 / float(radius))))
+    return max(res, min(fine, 20))
+
+
 def proximity_self_join(
     points: DataFrame,
     key_col: str,
@@ -819,6 +837,7 @@ def proximity_self_join(
 
     Returns (id_a, id_b, dist2:double), id_a < id_b.
     """
+    res = _blocking_res(res, radius)
     n = 1 << res
     r = float(radius)
 
@@ -873,6 +892,7 @@ def point_pairs_within(
 
     Returns (<left_key>, <right_key>, dist2:double, *carry_cols).
     """
+    res = _blocking_res(res, radius)
     n = 1 << res
     r = float(radius)
     carry_cols = carry_cols or []
@@ -942,6 +962,7 @@ def colocation_pairs(
     Returns (id_a, id_b, user_a, user_b, dist2:double, dt_us:long),
     id_a < id_b.
     """
+    res = _blocking_res(res, radius)
     n = 1 << res
     r = float(radius)
     w_us = int(window_s) * 1_000_000
