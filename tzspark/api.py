@@ -270,15 +270,30 @@ class TimezoneLookup:
     def cover_tables(self, spark, cache_dir: str = None):
         """The compiled cover as relational tables (covertable.CoverTables),
         optionally persisted as parquet keyed by the zone-content hash — the
-        broadcast-free counterpart of the pickle cache in _compile."""
+        broadcast-free counterpart of the pickle cache in _compile.
+
+        Memoized per (Spark application, cache_dir, zone content): repeated
+        probes reuse one CoverTables instance — and with it the
+        interior_res_levels metadata read — instead of re-deriving driver-
+        side table objects per call (round 6; the DataFrames are lazy table
+        handles, no data is cached by this)."""
         from .covertable import CoverTables
 
+        key = (spark.sparkContext.applicationId, cache_dir, self._content_key())
+        memo = getattr(self, "_covtbl_memo", None)
+        if memo is None:
+            memo = self._covtbl_memo = {}
+        if key in memo:
+            return memo[key]
         if cache_dir:
             path = os.path.join(cache_dir, f"covertbl_{self._content_key()}")
             if not os.path.exists(os.path.join(path, "meta.json")):
                 CoverTables.from_index(spark, self.idx).save(path)
-            return CoverTables.load(spark, path)
-        return CoverTables.from_index(spark, self.idx)
+            out = CoverTables.load(spark, path)
+        else:
+            out = CoverTables.from_index(spark, self.idx)
+        memo[key] = out
+        return out
 
     def assign_join(self, spark, images_df, cache_dir: str = None):
         """assign() with ZERO broadcast of the compiled cover: GPS extract
@@ -297,7 +312,15 @@ class TimezoneLookup:
         from .engine import zone_dim_df
 
         cov = self.cover_tables(spark, cache_dir)
-        dim = zone_dim_df(spark, self.zones)
+        # memoized like cover_tables: building the 24k-row dim frame from
+        # driver-side lists costs a createDataFrame per call otherwise
+        dkey = (spark.sparkContext.applicationId, self._content_key())
+        dmemo = getattr(self, "_dim_memo", None)
+        if dmemo is None:
+            dmemo = self._dim_memo = {}
+        dim = dmemo.get(dkey)
+        if dim is None:
+            dim = dmemo[dkey] = zone_dim_df(spark, self.zones)
         assigned = assign_images_via_join(images_df, cov)
         return assigned.join(
             F.broadcast(dim.select("zone_id", "tzid")), "zone_id", "left"

@@ -428,12 +428,19 @@ def _pip_pairs_udf():
     return _pip
 
 
-def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
+def _resolve_cands(
+    pts: DataFrame, cover: "CoverTables", carry_latlng: bool = False
+) -> DataFrame:
     """(_k, [keys...], _lat, _lng) -> (_k, _zid): argmin containing zone per
     key, MATCHED keys only. Interior claims join on (keys, res, ancestor
     cell); boundary cells join on (keys, max-res cell) and refine with the
     pruned-edge float32 ray cast; both candidate streams min-aggregate per
-    key. ``cover.keys`` columns (e.g. tenant) must be present in pts."""
+    key. ``cover.keys`` columns (e.g. tenant) must be present in pts.
+
+    carry_latlng=True additionally groups by (_lat, _lng) and keeps them on
+    the output — for callers whose key is unique per point (the image
+    path), this is the same grouping and saves a later map-back join. Do
+    NOT set it when keys may repeat with different coords."""
     ks = list(cover.keys)
     pb = pts.withColumn(
         "cell_id", cell_id_col(F.col("_lat"), F.col("_lng"), cover.max_res)
@@ -443,7 +450,8 @@ def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
         F.col("_lat"), F.col("_lng"),
         F.col("ea_lat"), F.col("ea_lng"), F.col("eb_lat"), F.col("eb_lng"),
     )
-    bm = jb.where(inside).select("_k", F.col("zone_id").alias("cand"))
+    carry = ["_lat", "_lng"] if carry_latlng else []
+    bm = jb.where(inside).select("_k", *carry, F.col("zone_id").alias("cand"))
 
     # interior probe: only the resolutions that CARRY interior cells
     # (interior_res_levels) — a res with no cells can never match, so the
@@ -452,7 +460,7 @@ def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
     # at the 1M-image bench row).
     levels = cover.interior_res_levels()
     if not levels:
-        return bm.groupBy("_k").agg(F.min("cand").alias("_zid"))
+        return bm.groupBy("_k", *carry).agg(F.min("cand").alias("_zid"))
     anc = F.explode(
         F.array(
             *[
@@ -464,18 +472,23 @@ def _resolve_cands(pts: DataFrame, cover: "CoverTables") -> DataFrame:
             ]
         )
     ).alias("a")
-    pi = pts.select("_k", *ks, anc).select("_k", *ks, "a.res", "a.cell_id")
+    pi = pts.select("_k", *carry, *ks, anc).select(
+        "_k", *carry, *ks, "a.res", "a.cell_id"
+    )
     im = pi.join(
         cover.interior.hint("shuffle_hash"), [*ks, "res", "cell_id"]
-    ).select("_k", F.col("zmin").alias("cand"))
-    return im.unionAll(bm).groupBy("_k").agg(F.min("cand").alias("_zid"))
+    ).select("_k", *carry, F.col("zmin").alias("cand"))
+    return im.unionAll(bm).groupBy("_k", *carry).agg(F.min("cand").alias("_zid"))
 
 
-def _knn_best(pts: DataFrame, cover: "CoverTables") -> DataFrame:
+def _knn_best(
+    pts: DataFrame, cover: "CoverTables", carry_latlng: bool = False
+) -> DataFrame:
     """(_k, [keys...], _lat, _lng) -> (_k, _zid): nearest zone by squared
     MBR clamp distance (float64 from float32 coords, tie-break min zone_id)
     via the (keys, coarse-cell) candidate equi-join — pure column
-    arithmetic, no UDF."""
+    arithmetic, no UDF. carry_latlng as in _resolve_cands."""
+    carry = ["_lat", "_lng"] if carry_latlng else []
     p = pts.withColumn(
         "knn_cell", cell_id_col(F.col("_lat"), F.col("_lng"), cover.knn_res)
     )
@@ -487,9 +500,9 @@ def _knn_best(pts: DataFrame, cover: "CoverTables") -> DataFrame:
     d2 = dlat * dlat + dlng * dlng
     return (
         j.withColumn("d2", d2)
-        .groupBy("_k")
+        .groupBy("_k", *carry)
         .agg(F.min(F.struct(F.col("d2"), F.col("zone_id"))).alias("b"))
-        .select("_k", F.col("b.zone_id").alias("_zid"))
+        .select("_k", *carry, F.col("b.zone_id").alias("_zid"))
     )
 
 
@@ -658,15 +671,17 @@ def assign_images_via_join(
     )
     if persist:
         pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
-    cands = _resolve_cands(pts, cover)  # (_k, _zid) for MATCHED keys only
+    # carry_latlng: image_id is unique per row, so grouping the candidate
+    # streams by (_k, _lat, _lng) is the same grouping and the zone map
+    # comes out already carrying the coords — no separate map-back join.
+    cands = _resolve_cands(pts, cover, carry_latlng=True)
     if persist:
         cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     un = pts.join(cands.select("_k"), "_k", "left_anti")
-    kbest = _knn_best(un, cover)  # (_k, _zid) for the unmatched keys
-    zmap = cands.withColumn("via_knn", F.lit(False)).unionByName(
+    kbest = _knn_best(un, cover, carry_latlng=True)
+    attach = cands.withColumn("via_knn", F.lit(False)).unionByName(
         kbest.withColumn("via_knn", F.lit(True))
     )
-    attach = pts.select("_k", "_lat", "_lng").join(zmap, "_k")
     return (
         images.join(attach, F.col(key_col) == F.col("_k"), "inner")
         .select(

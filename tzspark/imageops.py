@@ -741,13 +741,18 @@ def image_gradient_energy(images: DataFrame) -> DataFrame:
                     k = rows.shape[0]
                     if k == 0:
                         continue
-                    g = src[start[rows][:, None] + span[None, :]].astype(np.int64)
+                    # int32 throughout the per-pixel temporaries: luma is
+                    # <= 255000 and a neighbor |diff| <= 255000, both far
+                    # inside int32, so only the final reduction needs int64
+                    # — same exact values, half the memory traffic of the
+                    # heaviest arrays in the suite's hottest pixel kernel.
+                    g = src[start[rows][:, None] + span[None, :]].astype(np.int32)
                     if qnt:
                         g = (g << 2) + 2
                     px = g.reshape(k, hh, ww, 3)
                     luma = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
-                    gs = np.abs(np.diff(luma, axis=2)).sum(axis=(1, 2))
-                    gs += np.abs(np.diff(luma, axis=1)).sum(axis=(1, 2))
+                    gs = np.abs(np.diff(luma, axis=2)).sum(axis=(1, 2), dtype=np.int64)
+                    gs += np.abs(np.diff(luma, axis=1)).sum(axis=(1, 2), dtype=np.int64)
                     o_idx.append(rows)
                     o_edges.append(np.full(k, n_edges, np.int64))
                     o_sum.append(gs)
