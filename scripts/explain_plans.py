@@ -528,8 +528,8 @@ def main():
     sections.append(("polygon overlay join (cell-blocked, clip areas)", p29))
     if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p29):
         failures.append("overlay: candidate generation degenerates to a cross join")
-    if len(re.findall(r"\(\d+\) MapInPandas", p29)) != 1:
-        failures.append("overlay: expected exactly ONE MapInPandas (the clip fold)")
+    if len(re.findall(r"\(\d+\) (?:MapInPandas|MapInArrow|PythonMapInArrow)", p29)) != 1:
+        failures.append("overlay: expected exactly ONE map-in-batch clip fold")
 
     p30 = plan_of(q96_mobility_entropy(spark, sf001))
     sections.append(("mobility entropy (two partial aggs, no joins)", p30))
@@ -704,10 +704,13 @@ def main():
         failures.append("substring: unexpected Python stage (JVM shingle/window ops)")
     if re.search(r"CartesianProduct|BroadcastNestedLoopJoin", p40):
         failures.append("substring: unexpected cross join")
-    if len(re.findall(r"\(\d+\) Window\b", p40)) != 1:
-        failures.append("substring: expected one per-doc islands window")
-    if len(re.findall(r"\(\d+\) HashAggregate", p40)) < 4:
-        failures.append("substring: postings/span aggs lost partial combine")
+    if len(re.findall(r"\(\d+\) Window\b", p40)) != 2:
+        # round 6: window #1 marks >=2-distinct-doc shingles over the hash
+        # partition (replacing the old groupBy + left-semi join back, which
+        # shingled the corpus twice); window #2 is the per-doc islands merge
+        failures.append("substring: expected dup-mark + islands windows")
+    if len(re.findall(r"\(\d+\) HashAggregate", p40)) < 2:
+        failures.append("substring: span agg lost partial combine")
 
     # 41. semantic dedup (q102): the ONLY nested-loop join allowed is the
     # K-row centroid broadcast (inside the cached assignment); the pair
@@ -900,7 +903,7 @@ def main():
             "- bm25: zero Python stages, broadcast stats, distributed "
             "TakeOrderedAndProject top-k\n"
             "- overlay join: cell-blocked equi-join candidates (no cross "
-            "join), exactly one MapInPandas clip fold\n"
+            "join), exactly one map-in-batch (Arrow) clip fold\n"
             "- mobility entropy: zero joins, zero Python, partial-agg "
             "rollups only\n"
             "- per-zone quantiles: one Arrow probe, partial percentile "
@@ -920,8 +923,8 @@ def main():
             "- OD flow: one Arrow probe, <= 3 Exchanges, no cross join\n"
             "- shard pack: one Arrow probe, one per-tile running-sum "
             "window, no cross join\n"
-            "- substring dedup: zero Python stages, partial-agg postings, "
-            "one per-doc islands window, no cross join\n"
+            "- substring dedup: zero Python stages, one-pass dup-mark window "
+            "over the shingle hash + per-doc islands window, no cross join\n"
             "- semantic dedup: cached assignment (one evaluation), <= 1 "
             "nested-loop join (the K-row centroid broadcast), equi pair "
             "join, zero Python stages\n"
