@@ -71,11 +71,40 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Round-5 sampling rotation: the driver's correctness gate records the FIRST
-# 50 entries of queries() per round. CORRECTNESS_r04.json covered 50 names;
-# these are the other 50 (18 of them never driver-recorded in any round —
-# VERDICT r4 item 1), so they lead the registry this round. Every query is
-# still present and oracle-checked; only the iteration order changes.
+# Round-6 sampling rotation (VERDICT r5 item 4): the driver's correctness
+# gate records the FIRST 50 entries of queries() per round. The 59 names
+# with no CORRECTNESS_r05 row lead this round, stalest first — the 9 names
+# whose newest driver row is round 3, then the round-4-resting names — so
+# after r6 every query has a row in r5 ∪ r6. Every query is still present
+# and oracle-checked; only the iteration order changes.
+_ROUND6_FIRST = [
+    # newest driver row = round 3:
+    "q42_full_engine_boxes_join", "q44_dedup_canonical", "q45_asof_join",
+    "q46_sessionize", "q47_tfidf_topterms", "q48_pii_scrub",
+    "q49_stratified_sample", "q50_chunk_documents", "q51_sequence_pack",
+    # newest driver row = round 4 (50 names; the first 41 of these fill the
+    # driver's 50-name window, the rest follow immediately after):
+    "q01_validity_filter", "q02_cell_encode", "q03_bbox_join",
+    "q04_deterministic_match", "q05_knn_fallback", "q06_tile_counts",
+    "q07_salted_agg", "q08_zone_bounds", "q09_zone_table_build",
+    "q10_pip_exact_kernel", "q11_resolve_cover", "q12_knn_engine",
+    "q28_frame_sample", "q36_pricing_summary", "q39_resolve_join",
+    "q40_knn_join", "q43_zone_update_resolve", "q52_multi_tenant_resolve",
+    "q53_radius_join", "q54_proximity_pairs", "q57_geo_dbscan",
+    "q58_user_displacement", "q59_hll_tile_users", "q62_pagerank",
+    "q64_zone_geometry", "q65_zone_transitions", "q66_focal_tile_stats",
+    "q67_clip_conservation", "q68_idw_interpolation", "q70_tile_pyramid",
+    "q72_colocation", "q73_haversine_displacement", "q74_weighted_sample",
+    "q75_zone_dwell", "q76_tile_top_users", "q77_knn_points_join",
+    "q78_repetition_signals", "q79_geohash", "q80_zorder_layout",
+    "q85_mix_interleave", "q86_countmin_tokens", "q88_zone_value_quantiles",
+    "q89_versioned_resolve", "q90_bm25_rank", "q91_stream_window_counts",
+    "q93_stream_dedup", "q95_overlay_join", "q96_mobility_entropy",
+    "q98_decontaminate", "q99_od_flow_matrix",
+]
+
+# Round-5 rotation list, kept for reference (CORRECTNESS_r05.json recorded
+# exactly these 50 names).
 _ROUND5_FIRST = [
     "q55_sq8_encode", "q56_sq8_search", "q60_pq_adc_search", "q61_ivfpq_search",
     "q63_snapshot_time_travel", "q69_image_ahash_neardup", "q71_zonal_image_stats",
@@ -101,7 +130,7 @@ _ROUND5_FIRST = [
 
 
 def _rotate(d: dict) -> dict:
-    head = {k: d[k] for k in _ROUND5_FIRST if k in d}
+    head = {k: d[k] for k in _ROUND6_FIRST if k in d}
     tail = {k: v for k, v in d.items() if k not in head}
     return {**head, **tail}
 
