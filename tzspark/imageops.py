@@ -466,13 +466,20 @@ def patchify(images: DataFrame, patch: int = 8) -> DataFrame:
                     k = rows.shape[0]
                     if k == 0:
                         continue
-                    g = src[start[rows][:, None] + span[None, :]].astype(np.int64)
-                    if qnt:
-                        g = (g << 2) + 2
+                    # gather stays uint8 (the astype(int64) made the pixel
+                    # matrix 8x the payload bytes); the reduction carries an
+                    # int64 accumulator, and the qnt dequant (v -> 4v+2) is
+                    # affine so it folds into the per-patch sums exactly:
+                    # sum(4v+2) over P*P pixels == 4*sum(v) + 2*P*P.
+                    g = src[start[rows][:, None] + span[None, :]]
                     arr = g.reshape(k, hh, ww, 3)
                     # clip trailing partial patches, then fold (P x P) blocks
                     arr = arr[:, : gy * patch, : gx * patch, :]
-                    sums = arr.reshape(k, gy, patch, gx, patch, 3).sum(axis=(2, 4))
+                    sums = arr.reshape(k, gy, patch, gx, patch, 3).sum(
+                        axis=(2, 4), dtype=np.int64
+                    )
+                    if qnt:
+                        sums = 4 * sums + 2 * (patch * patch)
                     o_idx.append(np.repeat(rows, gy * gx))
                     o_py.append(np.tile(grid_y, k))
                     o_px.append(np.tile(grid_x, k))
