@@ -451,6 +451,11 @@ def _resolve_cands(
         F.col("ea_lat"), F.col("ea_lng"), F.col("eb_lat"), F.col("eb_lng"),
     )
     carry = ["_lat", "_lng"] if carry_latlng else []
+    # coords ride along as first() aggregates (every row of a key carries
+    # the SAME coords, so first is deterministic) — the agg stays keyed on
+    # _k alone and its hash(_k) partitioning remains reusable by the
+    # downstream key joins.
+    carry_aggs = [F.first(c).alias(c) for c in carry]
     bm = jb.where(inside).select("_k", *carry, F.col("zone_id").alias("cand"))
 
     # interior probe: only the resolutions that CARRY interior cells
@@ -460,7 +465,7 @@ def _resolve_cands(
     # at the 1M-image bench row).
     levels = cover.interior_res_levels()
     if not levels:
-        return bm.groupBy("_k", *carry).agg(F.min("cand").alias("_zid"))
+        return bm.groupBy("_k").agg(F.min("cand").alias("_zid"), *carry_aggs)
     anc = F.explode(
         F.array(
             *[
@@ -478,7 +483,9 @@ def _resolve_cands(
     im = pi.join(
         cover.interior.hint("shuffle_hash"), [*ks, "res", "cell_id"]
     ).select("_k", *carry, F.col("zmin").alias("cand"))
-    return im.unionAll(bm).groupBy("_k", *carry).agg(F.min("cand").alias("_zid"))
+    return im.unionAll(bm).groupBy("_k").agg(
+        F.min("cand").alias("_zid"), *carry_aggs
+    )
 
 
 def _knn_best(
@@ -500,8 +507,11 @@ def _knn_best(
     d2 = dlat * dlat + dlng * dlng
     return (
         j.withColumn("d2", d2)
-        .groupBy("_k", *carry)
-        .agg(F.min(F.struct(F.col("d2"), F.col("zone_id"))).alias("b"))
+        .groupBy("_k")
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("zone_id"))).alias("b"),
+            *[F.first(c).alias(c) for c in carry],
+        )
         .select("_k", *carry, F.col("b.zone_id").alias("_zid"))
     )
 
