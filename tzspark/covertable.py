@@ -428,6 +428,87 @@ def _pip_pairs_udf():
     return _pip
 
 
+def _pip_filter_arrow(jb: DataFrame, carry: list) -> DataFrame:
+    """(joined point x boundary-candidate rows) -> (_k, *carry, cand) for
+    rows whose point lies INSIDE the candidate's pruned edge subset — the
+    same float32 even-odd ray cast as _pip_pairs_udf, but as one mapInArrow
+    stage reading the four edge-list columns zero-copy from their Arrow
+    values/offsets buffers (round 6: the pandas_udf expression form
+    materialized a per-row ndarray object for each of the four arrays on
+    every joined row before concatenating them back together)."""
+    import pyarrow as pa
+
+    in_schema = jb.schema
+    out_schema = T.StructType(
+        [in_schema["_k"]]
+        + [in_schema[c] for c in carry]
+        + [T.StructField("cand", T.IntegerType(), False)]
+    )
+    sel = jb.select(
+        "_k", "_lat", "_lng", "zone_id",
+        "ea_lat", "ea_lng", "eb_lat", "eb_lng",
+    )
+    meta_cols = ["_k"] + list(carry)  # carry ⊆ {_lat, _lng}, already in sel
+
+    def _flat(col):
+        """list<float> column -> (row-contiguous float32 values, counts)."""
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        counts = np.diff(off)
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, F32), counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        return (
+            vals[np.repeat(off[:-1], counts) + within].astype(F32, copy=False),
+            counts,
+        )
+
+    def _run(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ci = {name: i for i, name in enumerate(b.schema.names)}
+            pl = b.column(ci["_lat"]).to_numpy(zero_copy_only=False).astype(F32)
+            pg = b.column(ci["_lng"]).to_numpy(zero_copy_only=False).astype(F32)
+            a_lat, counts = _flat(b.column(ci["ea_lat"]))
+            a_lng, _ = _flat(b.column(ci["ea_lng"]))
+            b_lat, _ = _flat(b.column(ci["eb_lat"]))
+            b_lng, _ = _flat(b.column(ci["eb_lng"]))
+            row = np.repeat(np.arange(n, dtype=np.int64), counts)
+            PL, PG = pl[row], pg[row]
+            straddle = (a_lng > PG) != (b_lng > PG)
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                t = ((b_lat - a_lat) * (PG - a_lng)) / (b_lng - a_lng) + a_lat
+            cross = (straddle & (PL < t)).astype(np.int64)
+            out = np.zeros(n, bool)
+            nz = counts > 0
+            if nz.any():
+                seg = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+                    np.int64
+                )
+                parity = np.add.reduceat(cross, seg[nz]) & 1
+                out[nz] = parity.astype(bool)
+            if not out.any():
+                continue
+            keep = pa.array(out)
+            arrs = [b.column(ci[c]).filter(keep) for c in meta_cols]
+            arrs.append(
+                pa.array(
+                    b.column(ci["zone_id"]).to_numpy(zero_copy_only=False)[out]
+                    .astype(np.int32)
+                )
+            )
+            yield pa.RecordBatch.from_arrays(
+                arrs, names=[f.name for f in out_schema.fields]
+            )
+
+    return sel.mapInArrow(_run, out_schema)
+
+
 def _resolve_cands(
     pts: DataFrame, cover: "CoverTables", carry_latlng: bool = False
 ) -> DataFrame:
@@ -446,17 +527,13 @@ def _resolve_cands(
         "cell_id", cell_id_col(F.col("_lat"), F.col("_lng"), cover.max_res)
     )
     jb = pb.join(cover.boundary.hint("shuffle_hash"), [*ks, "cell_id"])
-    inside = _pip_pairs_udf()(
-        F.col("_lat"), F.col("_lng"),
-        F.col("ea_lat"), F.col("ea_lng"), F.col("eb_lat"), F.col("eb_lng"),
-    )
     carry = ["_lat", "_lng"] if carry_latlng else []
     # coords ride along as first() aggregates (every row of a key carries
     # the SAME coords, so first is deterministic) — the agg stays keyed on
     # _k alone and its hash(_k) partitioning remains reusable by the
     # downstream key joins.
     carry_aggs = [F.first(c).alias(c) for c in carry]
-    bm = jb.where(inside).select("_k", *carry, F.col("zone_id").alias("cand"))
+    bm = _pip_filter_arrow(jb, carry)
 
     # interior probe: only the resolutions that CARRY interior cells
     # (interior_res_levels) — a res with no cells can never match, so the
