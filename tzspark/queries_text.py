@@ -12,7 +12,7 @@ output boundary.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -906,6 +906,11 @@ def min_label_cc(edges, max_rounds: int = 32, nodes=None):
             new = new.join(jmp, "canon_id", "left")
             terms.append(F.coalesce(F.col("jump_min"), F.col("canon_id")))
         upd = F.least(*terms) if len(terms) > 1 else terms[0]
+        # the convergence count rides on the checkpoint job itself via
+        # observe() (fires on localCheckpoint's materialization — verified)
+        # so each round is ONE Spark job: update + chg flag + lineage cut
+        # + metric, no separate aggregate read.
+        obs = Observation(f"cc_chg_r{rounds}")
         new = (
             new.join(nb, "doc_id", "left")
             .select(
@@ -914,9 +919,10 @@ def min_label_cc(edges, max_rounds: int = 32, nodes=None):
                 (upd < F.col("canon_id")).alias("_chg"),
             )
             .withColumnRenamed("new_canon", "canon_id")
-            .localCheckpoint()  # ONE job: update + chg flag + lineage cut
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("n"))
+            .localCheckpoint()
         )
-        changed = new.agg(F.sum(F.col("_chg").cast("long"))).first()[0] or 0
+        changed = (obs.get or {}).get("n") or 0
         labels = new
         if changed == 0:
             break
