@@ -2515,21 +2515,30 @@ def substring_dup_spans(docs, k):
     pipeline + scale argument). Shared by the driver query and the
     200k-doc bench row."""
     d = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # shingle key = xxhash64 over the k-slice of PER-TOKEN xxhash64 values:
+    # each token is hashed once per document instead of k times through a
+    # per-position array_join string build (round 6 — the joined-string
+    # form spent the row's whole budget allocating 6.6M shingle strings at
+    # the 200k-doc bench shape). Equality still <=> shingle equality w.h.p.
+    # (two 64-bit layers compose to the same ~1e-7 odds at 1e12 shingles
+    # as the single-layer Birthday bound, and a collision only over-marks
+    # a span, never corrupts).
     sh = (
         d.where(F.size("w") >= k)
+        .withColumn("th", F.transform(F.col("w"), lambda t: F.xxhash64(t)))
         .select(
             "doc_id",
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("w") - (k - 1)),
-                    lambda i: F.array_join(F.slice("w", i, k), " "),
+                    lambda i: F.xxhash64(F.slice("th", i, k)),
                 )
-            ).alias("pos0", "sh"),
+            ).alias("pos0", "h"),
         )
         .select(
             "doc_id",
             (F.col("pos0") + 1).cast("long").alias("pos"),
-            F.xxhash64("sh").alias("h"),
+            "h",
         )
     )
     # "shingle seen in >= 2 distinct docs" == min(doc_id) != max(doc_id)
