@@ -127,3 +127,48 @@ def test_interior_res_levels_metadata(spark):
     assert all(cov.base_res <= r <= cov.max_res for r in levels)
     # memoized: second call returns the same object without a job
     assert cov.interior_res_levels() is levels
+
+
+def test_cc_contraction_matches_bruteforce_and_loop(spark):
+    """Dense-blob fixture where the round-1 HLL decision provably fires
+    (distinct labels << nodes): the contracted path must produce the exact
+    min-reachable-id labels — equal to brute force AND to the pure
+    pointer-jumping loop (_contract=False)."""
+    import numpy as np
+
+    from tzspark.queries_text import min_label_cc
+
+    rng = np.random.default_rng(7)
+    e = []
+    for b in range(8):  # 8 dense blobs of 25 nodes: labels collapse hard
+        base = b * 100
+        ids = rng.choice(np.arange(base, base + 25), size=(60, 2))
+        e += [(int(a), int(c)) for a, c in ids if a != c]
+    sym = e + [(d, s) for s, d in e]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+    lab_c, rounds_c = min_label_cc(edges)
+    lab_p, _ = min_label_cc(edges, _contract=False)
+    got_c = {r["doc_id"]: r["canon_id"] for r in lab_c.collect()}
+    got_p = {r["doc_id"]: r["canon_id"] for r in lab_p.collect()}
+    want = _brute_cc(e)
+    assert got_c == want
+    assert got_p == want
+    # round 1 + the contracted loop stays O(log) — not the linear worst case
+    assert rounds_c <= 8
+
+
+def test_cc_contraction_string_ids(spark):
+    """q81 runs CC over zero-padded string image ids — contraction must be
+    type-agnostic (min/least over strings)."""
+    from tzspark.queries_text import min_label_cc
+
+    e = []
+    for b in range(6):  # complete blobs of 6 string ids each
+        ids = [f"img{b:02d}_{i:02d}" for i in range(6)]
+        e += [(a, c) for a in ids for c in ids if a < c]
+    sym = e + [(d, s) for s, d in e]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    labels, _ = min_label_cc(edges)
+    got = {r["doc_id"]: r["canon_id"] for r in labels.collect()}
+    want = _brute_cc(e)
+    assert got == want

@@ -824,7 +824,7 @@ FROM d2 GROUP BY lang
 # --- near-dup clustering (connected components over candidate pairs) --------
 
 
-def min_label_cc(edges, max_rounds: int = 32, nodes=None):
+def min_label_cc(edges, max_rounds: int = 32, nodes=None, _contract: bool = True):
     """Connected components by min-label propagation WITH pointer jumping.
 
     ``nodes`` (optional, DataFrame with a doc_id column) supplies the node
@@ -868,6 +868,17 @@ def min_label_cc(edges, max_rounds: int = 32, nodes=None):
     free aggregate over the checkpointed (tiny) label table instead of the
     old separate new-vs-old join job.
 
+    Third scale optimization (round 6, result-identical): ONE level of
+    GRAPH CONTRACTION. When round 1 (pure neighbor-min hooking) collapses
+    most nodes — distinct labels < half the nodes, estimated by an HLL
+    metric riding the round-1 observation — the remaining work runs on the
+    contracted label graph instead of re-scanning the full edge table every
+    round; see the inline proof at the contraction site. Dense blob graphs
+    (DBSCAN cores, near-dup clusters) contract to a few percent of the
+    nodes; sparse chains skip contraction (labels shrink by ~1 per hooking
+    round there) and keep the O(log L) pointer-jumping loop unchanged.
+    ``_contract`` is internal (the recursive call disables re-contraction).
+
     Returns (labels DataFrame(doc_id, canon_id), rounds_run).
     """
     sp = edges.sparkSession
@@ -909,8 +920,14 @@ def min_label_cc(edges, max_rounds: int = 32, nodes=None):
         # the convergence count rides on the checkpoint job itself via
         # observe() (fires on localCheckpoint's materialization — verified)
         # so each round is ONE Spark job: update + chg flag + lineage cut
-        # + metric, no separate aggregate read.
+        # + metric, no separate aggregate read. Round 1 also observes the
+        # node count and an HLL label-count so the contraction decision
+        # below costs zero extra jobs.
         obs = Observation(f"cc_chg_r{rounds}")
+        metrics = [F.sum(F.col("_chg").cast("long")).alias("n")]
+        if rounds == 1 and _contract:
+            metrics.append(F.count(F.lit(1)).alias("cnt"))
+            metrics.append(F.approx_count_distinct("new_canon").alias("nd"))
         new = (
             new.join(nb, "doc_id", "left")
             .select(
@@ -918,14 +935,82 @@ def min_label_cc(edges, max_rounds: int = 32, nodes=None):
                 upd.alias("new_canon"),
                 (upd < F.col("canon_id")).alias("_chg"),
             )
+            .observe(obs, *metrics)
             .withColumnRenamed("new_canon", "canon_id")
-            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("n"))
             .localCheckpoint()
         )
-        changed = (obs.get or {}).get("n") or 0
+        got = obs.get or {}
+        changed = got.get("n") or 0
         labels = new
         if changed == 0:
             break
+        if rounds == 1 and _contract:
+            n_nodes = got.get("cnt") or 0
+            n_lab = got.get("nd") or n_nodes
+            if 2 * n_lab < n_nodes:
+                # GRAPH CONTRACTION (round 6, result-identical): round 1 is
+                # min-of-self-and-neighbors hooking, so when it collapses
+                # most nodes (dense blobs: distinct labels << nodes) the
+                # remaining rounds repeat full edge scans just to move a
+                # few labels. Relabel both edge endpoints through the
+                # round-1 labels, drop now-internal edges, dedup — the
+                # contracted graph's components are exactly the images of
+                # the original components (for any G-edge (u,v) the labels
+                # L1(u), L1(v) are equal or G'-adjacent, so any G-path maps
+                # to a G'-path), its node ids are a subset of G's ids
+                # within the same component, and the component minimum m
+                # survives contraction (L1(m) = m since m has no smaller
+                # neighbor). Run the same loop on the (tiny) contracted
+                # graph and compose: final(v) = Lc(L1(v)) = min reachable
+                # id — the identical fixpoint. The half-relabeled dedup
+                # shrinks the dst-side shuffle before the second relabel
+                # join (guide §2.3: shuffle fewer bytes). The decision is
+                # an HLL estimate (heuristic only — both paths are exact);
+                # sparse graphs (chains: labels shrink by ~1 per round)
+                # skip contraction and keep the pointer-jumping loop.
+                l1 = labels.select("doc_id", "canon_id")
+                half = (
+                    edges.join(
+                        l1.select(
+                            F.col("doc_id").alias("src"),
+                            F.col("canon_id").alias("lsrc"),
+                        ),
+                        "src",
+                    )
+                    .select("lsrc", "dst")
+                    .distinct()
+                )
+                ec = (
+                    half.join(
+                        l1.select(
+                            F.col("doc_id").alias("dst"),
+                            F.col("canon_id").alias("ldst"),
+                        ),
+                        "dst",
+                    )
+                    .where(F.col("lsrc") != F.col("ldst"))
+                    .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+                    .distinct()
+                )
+                cn = l1.select(F.col("canon_id").alias("doc_id")).distinct()
+                sub, sub_rounds = min_label_cc(
+                    ec, max_rounds=max_rounds - 1, nodes=cn, _contract=False
+                )
+                final = (
+                    l1.join(
+                        sub.select(
+                            F.col("doc_id").alias("canon_id"),
+                            F.col("canon_id").alias("_sub"),
+                        ),
+                        "canon_id",
+                        "left",
+                    )
+                    .select(
+                        "doc_id",
+                        F.coalesce("_sub", F.col("canon_id")).alias("canon_id"),
+                    )
+                )
+                return final, rounds + sub_rounds
     return labels.drop("_chg"), rounds
 
 
