@@ -895,12 +895,22 @@ def min_label_cc(edges, max_rounds: int = 32, nodes=None, _contract: bool = True
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
-        delta = labels.where(F.col("_chg")).select("doc_id", "canon_id")
-        nb = (
-            edges.join(delta, edges["src"] == delta["doc_id"])
-            .groupBy(edges["dst"].alias("doc_id"))
-            .agg(F.min("canon_id").alias("nb_min"))
-        )
+        if rounds == 1:
+            # round 1 labels are the identity and the frontier is every
+            # node, so the edges-side delta join is a provable no-op
+            # (canon(src) == src): the neighbor-min is a bare partial-agg
+            # over the checkpointed edge table — the most expensive round
+            # loses its largest join (guide §2.4).
+            nb = edges.groupBy(F.col("dst").alias("doc_id")).agg(
+                F.min("src").alias("nb_min")
+            )
+        else:
+            delta = labels.where(F.col("_chg")).select("doc_id", "canon_id")
+            nb = (
+                edges.join(delta, edges["src"] == delta["doc_id"])
+                .groupBy(edges["dst"].alias("doc_id"))
+                .agg(F.min("canon_id").alias("nb_min"))
+            )
         terms = [
             F.col("canon_id"),
             F.coalesce(F.col("nb_min"), F.col("canon_id")),
