@@ -1186,14 +1186,19 @@ def geo_dbscan(
         cores["_k"],
         F.coalesce("canon_id", cores["_k"]).cast("long").alias("cluster_id"),
     )
+    # anti-join FIRST: the id_a∉cores filter and the id_b cluster attach
+    # are on independent keys, so the reorder is exact — and it prunes the
+    # 2x-pairs edge table to just non-core-origin edges (a small minority
+    # in any dense regime) before the wider core_lab join (guide §3:
+    # pre-filter the big side).
     border = (
-        edges.join(
+        edges.join(cores.select(F.col("_k").alias("id_a")), "id_a", "left_anti")
+        .join(
             core_lab.select(
                 F.col("_k").alias("id_b"), F.col("cluster_id").alias("_cid")
             ),
             "id_b",
         )
-        .join(cores.select(F.col("_k").alias("id_a")), "id_a", "left_anti")
         .groupBy("id_a")
         .agg(F.min("_cid").alias("cluster_id"))
         .select(F.col("id_a").alias("_k"), "cluster_id")
